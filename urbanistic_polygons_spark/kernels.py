@@ -1,0 +1,305 @@
+"""Pure-NumPy geometry / tile-math kernels.
+
+These are the vectorized building blocks shared by (a) the Spark pandas/Arrow
+UDFs and (b) the single-process test oracle, so both compute bit-identical
+results.  Semantics mirror the reference implementation:
+
+- slippy-map tile math          -> reference Tiles/TileStatic.cs:8-171
+- 16384-grid quantization       -> reference Tiles/TileStatic.cs:57-100
+- content-addressed UUIDv5 ids  -> reference Guids/GuidUtility.cs:21-49,
+                                   Guids/{Vertex,Edge,Face}GuidGenerator.cs
+- clockwise angle               -> reference Geo/GeoExtensions.cs:21-200
+- equirectangular distance      -> reference Geo/GeoExtensions.cs:208-222
+- ray-cast point-in-polygon     -> reference PointInPolygon.cs:27-87
+- shoelace signed area          -> reference Landuse/CompleteWayExtensions.cs:25-47
+
+No Spark imports here: this module must stay importable on executors with
+zero session state.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+import uuid
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# Tile math (slippy map, default zoom 14 like the reference preprocessor)
+# --------------------------------------------------------------------------
+
+DEFAULT_ZOOM = 14
+QUANT = 16384  # per-tile quantization grid (reference TileStatic.cs:57-73)
+
+# Per-entity UUIDv5 namespaces, matching the reference generators exactly:
+NS_VERTEX = uuid.UUID("cff2a084-3138-486b-84e4-6f8099cb4c70")  # VertexGuidGenerator.cs:14
+NS_EDGE = uuid.UUID("62b34a03-f1fd-4d04-965f-4e8355a8ac24")    # EdgeGuidGenerator.cs:14
+NS_FACE = uuid.UUID("2115f6f1-20c3-46e0-9f82-863ba536dee9")    # FaceGuidGenerator.cs:19
+
+
+def world_to_tile(lon: np.ndarray, lat: np.ndarray, zoom: int = DEFAULT_ZOOM):
+    """lon/lat -> integer tile (x, y) at ``zoom``.
+
+    Mirrors reference Tiles/TileStatic.cs:113-125 (WorldToTile).
+    """
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    n = np.int64(1) << zoom
+    x = np.floor((lon + 180.0) / 360.0 * n).astype(np.int64)
+    lat_rad = np.radians(lat)
+    y = np.floor(
+        (1.0 - np.log(np.tan(lat_rad) + 1.0 / np.cos(lat_rad)) / np.pi) / 2.0 * n
+    ).astype(np.int64)
+    # clamp like the usual slippy convention (poles / antimeridian)
+    x = np.clip(x, 0, n - 1)
+    y = np.clip(y, 0, n - 1)
+    return x, y
+
+
+def tile_local_id(x: np.ndarray, y: np.ndarray, zoom: int = DEFAULT_ZOOM) -> np.ndarray:
+    """Flatten (x, y) -> local id ``y * 2**zoom + x``.
+
+    Mirrors reference Tiles/TileStatic.cs:20-24 (ToLocalId).
+    """
+    n = np.int64(1) << zoom
+    return np.asarray(y, dtype=np.int64) * n + np.asarray(x, dtype=np.int64)
+
+
+def tile_from_local_id(tile_id: np.ndarray, zoom: int = DEFAULT_ZOOM):
+    """Inverse of :func:`tile_local_id` (reference TileStatic.cs:8-18)."""
+    tile_id = np.asarray(tile_id, dtype=np.int64)
+    n = np.int64(1) << zoom
+    return tile_id % n, tile_id // n
+
+
+def tile_box(x: np.ndarray, y: np.ndarray, zoom: int = DEFAULT_ZOOM):
+    """Tile -> (min_lon, min_lat, max_lon, max_lat).
+
+    Mirrors reference Tiles/TileStatic.cs:26-39 (Box): top-left of (x, y) and
+    of (x+1, y+1) via inverse Mercator.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    n = float(1 << zoom)
+    min_lon = x / n * 360.0 - 180.0
+    max_lon = (x + 1.0) / n * 360.0 - 180.0
+    max_lat = np.degrees(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * y / n))))
+    min_lat = np.degrees(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * (y + 1.0) / n))))
+    return min_lon, min_lat, max_lon, max_lat
+
+
+def quantize(lon: np.ndarray, lat: np.ndarray, tile_x: np.ndarray, tile_y: np.ndarray,
+             zoom: int = DEFAULT_ZOOM):
+    """World coords -> per-tile 16384x16384 integer grid coords.
+
+    Bit-exact mirror of reference Tiles/TileStatic.cs:58-74
+    (ToLocalTileCoordinates): per-axis step = extent / resolution, then
+    truncating int cast of offset / step — the step-division order matters
+    for the content-addressed ids, so it is replicated literally.
+    """
+    min_lon, min_lat, max_lon, max_lat = tile_box(tile_x, tile_y, zoom)
+    lat_step = (max_lat - min_lat) / QUANT
+    lon_step = (max_lon - min_lon) / QUANT
+    qx = ((np.asarray(lon, np.float64) - min_lon) / lon_step).astype(np.int64)
+    qy = ((max_lat - np.asarray(lat, np.float64)) / lat_step).astype(np.int64)
+    return qx, qy
+
+
+def dequantize(qx: np.ndarray, qy: np.ndarray, tile_x: np.ndarray, tile_y: np.ndarray,
+               zoom: int = DEFAULT_ZOOM):
+    """Inverse of :func:`quantize` (reference TileStatic.cs:85-103):
+    ``left + lon_step * x`` / ``top - y * lat_step``."""
+    min_lon, min_lat, max_lon, max_lat = tile_box(tile_x, tile_y, zoom)
+    lat_step = (max_lat - min_lat) / QUANT
+    lon_step = (max_lon - min_lon) / QUANT
+    lon = min_lon + lon_step * np.asarray(qx, np.float64)
+    lat = max_lat - np.asarray(qy, np.float64) * lat_step
+    return lon, lat
+
+
+def tiles_for_box(min_lon: float, min_lat: float, max_lon: float, max_lat: float,
+                  zoom: int = DEFAULT_ZOOM) -> np.ndarray:
+    """All flat tile ids covering a bbox (reference TileStatic.cs:127-139)."""
+    x0, y1 = world_to_tile(np.array([min_lon]), np.array([min_lat]), zoom)
+    x1, y0 = world_to_tile(np.array([max_lon]), np.array([max_lat]), zoom)
+    xs = np.arange(x0[0], x1[0] + 1, dtype=np.int64)
+    ys = np.arange(y0[0], y1[0] + 1, dtype=np.int64)
+    gx, gy = np.meshgrid(xs, ys)
+    return tile_local_id(gx.ravel(), gy.ravel(), zoom)
+
+
+def neighbor_cells(tile_id: np.ndarray, ring: int = 1, zoom: int = DEFAULT_ZOOM) -> np.ndarray:
+    """(n,) tile ids -> (n, (2r+1)^2) ids of the r-ring halo around each tile.
+
+    The eager-halo replacement for the reference's lazy neighbor-tile loading
+    loop (reference TiledBarrierGraphBuilder.cs:53-61).
+    """
+    x, y = tile_from_local_id(tile_id, zoom)
+    n = np.int64(1) << zoom
+    offs = np.arange(-ring, ring + 1, dtype=np.int64)
+    dx, dy = np.meshgrid(offs, offs)
+    nx = (x[:, None] + dx.ravel()[None, :]) % n
+    ny = np.clip(y[:, None] + dy.ravel()[None, :], 0, n - 1)
+    return ny * n + nx
+
+
+# --------------------------------------------------------------------------
+# Content-addressed ids (UUIDv5 over quantized geometry)
+# --------------------------------------------------------------------------
+
+def _uuid5_bytes(namespace: uuid.UUID, payload: bytes) -> str:
+    """RFC-4122 v5 (SHA-1) GUID over raw payload bytes.
+
+    Bit-exact mirror of reference Guids/GuidUtility.cs:22-51: SHA-1 over
+    network-order namespace bytes + name, version/variant bit-twiddling.
+    (The C# code's final SwapByteOrder + ``new Guid`` round-trips back to the
+    big-endian string, so the stdlib layout matches.)
+    """
+    h = hashlib.sha1(namespace.bytes + payload).digest()[:16]
+    b = bytearray(h)
+    b[6] = (b[6] & 0x0F) | 0x50  # version 5
+    b[8] = (b[8] & 0x3F) | 0x80  # RFC 4122 variant
+    return str(uuid.UUID(bytes=bytes(b)))
+
+
+def _loc_bytes(qx: int, qy: int, tile_id: int) -> bytes:
+    """12-byte tiled-location payload: uint tileId, int x, int y, all
+    little-endian — reference IO/CustomBitCoder.cs:8-19 (tileId first)."""
+    return struct.pack("<Iii", int(tile_id) & 0xFFFFFFFF, int(qx), int(qy))
+
+
+def vertex_guid(qx: int, qy: int, tile_id: int) -> str:
+    """Vertex id from the 12-byte tiled location
+    (reference Guids/VertexGuidGenerator.cs:21-30)."""
+    return _uuid5_bytes(NS_VERTEX, _loc_bytes(qx, qy, tile_id))
+
+
+def vertex_guids(qx: np.ndarray, qy: np.ndarray, tile_id: np.ndarray) -> np.ndarray:
+    """Vectorized :func:`vertex_guid` (a Python loop over an Arrow batch on
+    executors — never per-row through Spark)."""
+    qx = np.asarray(qx, np.int64)
+    qy = np.asarray(qy, np.int64)
+    tid = np.asarray(tile_id, np.int64)
+    out = np.empty(len(qx), dtype=object)
+    for i in range(len(qx)):
+        out[i] = _uuid5_bytes(NS_VERTEX, _loc_bytes(qx[i], qy[i], tid[i]))
+    return out
+
+
+def edge_guid(shape_q: np.ndarray) -> str:
+    """Edge id from the concatenated complete quantized shape
+    ``[(qx, qy, tile_id), ...]`` including both end vertices, always in the
+    edge's stored (forward) orientation.
+
+    Mirrors reference Guids/EdgeGuidGenerator.cs:20-39 (which re-orients a
+    backward enumerator to forward before hashing).
+    """
+    shape_q = np.asarray(shape_q, dtype=np.int64).reshape(-1, 3)
+    payload = b"".join(_loc_bytes(r[0], r[1], r[2]) for r in shape_q)
+    return _uuid5_bytes(NS_EDGE, payload)
+
+
+def face_guid(ring_q: np.ndarray, zoom: int = DEFAULT_ZOOM) -> str:
+    """Face id from the face's clockwise-enumerated quantized ring rotated to
+    its top-left vertex.
+
+    Mirrors reference Guids/FaceGuidGenerator.cs:44-77: the closing duplicate
+    coordinate is dropped, the winding is NOT normalized (the ring arrives in
+    face-on-the-right order from the face walk, so interior and exterior
+    faces hash differently), and "top-left" compares dequantized world
+    coordinates — lon ascending then lat descending, first occurrence wins
+    (Guids/GeoExtensions.cs:7-21 CompareTopLeft).
+    """
+    ring_q = np.asarray(ring_q, dtype=np.int64).reshape(-1, 3)
+    if len(ring_q) > 1 and np.array_equal(ring_q[0], ring_q[-1]):
+        ring_q = ring_q[:-1]
+    tx, ty = tile_from_local_id(ring_q[:, 2], zoom)
+    lon, lat = dequantize(ring_q[:, 0], ring_q[:, 1], tx, ty, zoom)
+    start = min(range(len(ring_q)), key=lambda i: (lon[i], -lat[i]))
+    ring_q = np.roll(ring_q, -start, axis=0)
+    payload = b"".join(_loc_bytes(r[0], r[1], r[2]) for r in ring_q)
+    return _uuid5_bytes(NS_FACE, payload)
+
+
+# --------------------------------------------------------------------------
+# Scalar geometry
+# --------------------------------------------------------------------------
+
+EARTH_RADIUS_M = 6371000.0
+
+
+def distance_m(lon1, lat1, lon2, lat2) -> np.ndarray:
+    """Equirectangular distance estimate, R=6371000.
+
+    Mirrors reference Geo/GeoExtensions.cs:208-222 (DistanceEstimateInMeter).
+    """
+    lon1 = np.radians(np.asarray(lon1, np.float64))
+    lat1 = np.radians(np.asarray(lat1, np.float64))
+    lon2 = np.radians(np.asarray(lon2, np.float64))
+    lat2 = np.radians(np.asarray(lat2, np.float64))
+    x = (lon2 - lon1) * np.cos((lat1 + lat2) / 2.0)
+    y = lat2 - lat1
+    return np.sqrt(x * x + y * y) * EARTH_RADIUS_M
+
+
+def angle_clockwise(cx, cy, ax, ay, bx, by) -> np.ndarray:
+    """Clockwise angle at point C from ray C->A to ray C->B, in [0, 2pi).
+
+    Replicates the *behavior* of reference Geo/GeoExtensions.cs:21-200
+    (Angle): the angular order of edges around a vertex used by
+    NextClockwise.  We use atan2 which is monotonically consistent with the
+    reference's quadrant-stable asin/acos construction for ordering purposes
+    (the reference only ever uses these angles as sort keys,
+    Faces/TiledBarrierGraphExtensions.cs:20-28).
+    """
+    a = np.arctan2(np.asarray(ay, np.float64) - cy, np.asarray(ax, np.float64) - cx)
+    b = np.arctan2(np.asarray(by, np.float64) - cy, np.asarray(bx, np.float64) - cx)
+    return np.mod(a - b, 2.0 * np.pi)
+
+
+def signed_area(lon: np.ndarray, lat: np.ndarray) -> float:
+    """Shoelace signed area of a ring; negative => clockwise.
+
+    Mirrors reference Landuse/CompleteWayExtensions.cs:25-47.
+    """
+    x = np.asarray(lon, np.float64)
+    y = np.asarray(lat, np.float64)
+    x2 = np.roll(x, -1)
+    y2 = np.roll(y, -1)
+    return float(np.sum(x * y2 - x2 * y)) / 2.0
+
+
+def is_clockwise(lon: np.ndarray, lat: np.ndarray) -> bool:
+    return signed_area(lon, lat) < 0
+
+
+def points_in_polygon(px: np.ndarray, py: np.ndarray,
+                      ring_x: np.ndarray, ring_y: np.ndarray) -> np.ndarray:
+    """Vectorized ray-cast (W->E ray) crossing-parity test: (n,) bool for n
+    points against one ring.
+
+    Mirrors reference PointInPolygon.cs:27-87 (even-odd rule).
+    """
+    px = np.asarray(px, np.float64)[:, None]
+    py = np.asarray(py, np.float64)[:, None]
+    x1 = np.asarray(ring_x, np.float64)[None, :]
+    y1 = np.asarray(ring_y, np.float64)[None, :]
+    x2 = np.roll(ring_x, -1).astype(np.float64)[None, :]
+    y2 = np.roll(ring_y, -1).astype(np.float64)[None, :]
+    cond = (y1 > py) != (y2 > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = (x2 - x1) * (py - y1) / (y2 - y1) + x1
+    crossings = cond & (px < xint)
+    return (np.sum(crossings, axis=1) % 2).astype(bool)
+
+
+def bbox_overlaps(aminx, aminy, amaxx, amaxy, bminx, bminy, bmaxx, bmaxy,
+                  eps: float = 1e-8) -> np.ndarray:
+    """Box-overlap with the reference's epsilon (Geo/GeoExtensions.cs:666-684)."""
+    return (
+        (np.asarray(aminx) <= np.asarray(bmaxx) + eps)
+        & (np.asarray(amaxx) >= np.asarray(bminx) - eps)
+        & (np.asarray(aminy) <= np.asarray(bmaxy) + eps)
+        & (np.asarray(amaxy) >= np.asarray(bminy) - eps)
+    )
