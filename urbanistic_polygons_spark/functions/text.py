@@ -1,0 +1,94 @@
+"""Text-analysis column functions for the training-data pipeline:
+language-ID heuristic, quality scoring, token counting, fingerprinting.
+
+All pure Spark Column expressions (JVM-side, codegen'd) built to be exactly
+reproducible in ANSI SQL for the DuckDB oracle: integer arithmetic
+everywhere a float hash-mismatch could creep in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists for the n-gram/stopword language
+# heuristic; deterministic and identical in the oracle SQL
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "as"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "las", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "du", "que", "une"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "des", "ist"],
+}
+
+PUNCT_CLASS = "[.!?,;:]"
+WORD_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens, lowercased, empties removed."""
+    return F.filter(F.split(F.lower(text), " "), lambda t: F.length(t) > 0)
+
+
+def n_tokens(text: Column) -> Column:
+    return F.size(tokens(text)).alias("n_tokens")
+
+
+def n_tokens_regex(text: Column) -> Column:
+    """BPE-ish token count: word / number / single-symbol pieces."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(WORD_REGEX), 0))
+
+
+def punct_count(text: Column) -> Column:
+    """Punctuation count via length delta (portable to any SQL dialect)."""
+    return (F.length(text) - F.length(F.regexp_replace(text, PUNCT_CLASS, "")))
+
+
+def stopword_count(text: Column, lang: str = "en") -> Column:
+    toks = tokens(text)
+    stop = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    # per-occurrence count (array_intersect would dedupe)
+    return F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+
+
+def quality_score(text: Column) -> Column:
+    """Integer-permille quality heuristic: stopword ratio + length band +
+    punctuation density, all integer arithmetic (order-independent, exact
+    in both Spark and the DuckDB oracle)."""
+    nt = F.size(tokens(text))
+    stop_permille = F.floor(F.lit(1000) * stopword_count(text) /
+                            F.greatest(nt, F.lit(1))).cast("long")
+    punct_permille = F.floor(F.lit(1000) * punct_count(text) /
+                             F.greatest(F.length(text), F.lit(1))).cast("long")
+    len_band = F.least(F.floor(F.length(text) / F.lit(100)), F.lit(10)).cast("long")
+    return (stop_permille + F.lit(100) * len_band - punct_permille).alias("quality")
+
+
+def lang_scores(text: Column) -> list[Column]:
+    """One integer stopword-hit count per language."""
+    toks = tokens(text)
+    cols = []
+    for lang, words in STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        cols.append(F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+                    .cast("long").alias(f"score_{lang}"))
+    return cols
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 over whitespace-normalized lowercase text."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))).alias("fingerprint")
+
+
+def hash60(s: Column) -> Column:
+    """Portable 60-bit integer hash: first 15 hex chars of md5.
+
+    Matches DuckDB's ``CAST('0x' || substr(md5(x),1,15) AS BIGINT)``.
+    """
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def hash31(s: Column) -> Column:
+    """Portable 31-bit integer hash (safe for a*h+b minhash arithmetic
+    without int64 overflow in either engine)."""
+    return F.pmod(F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+                  F.lit(2147483647))

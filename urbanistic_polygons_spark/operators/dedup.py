@@ -1,0 +1,172 @@
+"""Deduplication operators for the large-scale training-data pipeline.
+
+All five variants are expressed in pure Spark DataFrame ops (JVM-side
+higher-order functions; zero Python UDFs) with integer-exact hashing so the
+DuckDB oracle reproduces every value bit-for-bit:
+
+- exact:        md5-of-normalized-text groupBy, keep min doc_id
+- minhash-lsh:  token shingles -> k portable 31-bit minhashes -> banded
+                buckets -> candidate-pair self-join
+- simhash:      32-bit per-bit token-hash majority signature
+- ngram-jaccard: blocked candidate pairs + integer Jaccard test
+- embedding near-dup: see operators/similarity.py (quantized-int dot)
+
+Scale notes: every variant is shuffle-on-key (dedup key / band bucket /
+shingle block); band buckets and shingle blocks bound pair enumeration so
+nothing is O(n^2); AQE skew-join handles hot buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+
+# deterministic (a, b) parameters for the k minhash permutations
+# h_j(x) = (a_j * x + b_j) mod p, p = 2^31 - 1; a_j < 2^31 so the product
+# stays < 2^62 (no int64 overflow in Spark or DuckDB)
+MINHASH_P = 2147483647
+
+
+def minhash_params(k: int) -> list[tuple[int, int]]:
+    """Deterministic LCG-derived (a, b) pairs — same constants in the SQL
+    oracle."""
+    params = []
+    state = 1
+    for _ in range(k):
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        a = (state % (MINHASH_P - 1)) + 1
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        b = state % MINHASH_P
+        params.append((a, b))
+    return params
+
+
+def normalize(text_col):
+    return F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " "))
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Exact dedup groups: (fingerprint, keeper, n_dups) for groups > 1."""
+    return (
+        docs.select(F.col(id_col), X.fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keeper"), F.count("*").alias("n_dups"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def shingles(text_col, n: int = 3):
+    """Token n-gram shingles as an array column (higher-order functions,
+    JVM-side)."""
+    toks = X.tokens(text_col)
+    idx = F.sequence(F.lit(0), F.size(toks) - F.lit(n))
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(F.transform(
+            idx, lambda i: F.concat_ws(
+                " ", toks[i], toks[i + F.lit(1)], toks[i + F.lit(2)])))
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def minhash_signature(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", k: int = 16) -> DataFrame:
+    """(doc_id, sig array<long>[k]) — min over shingles of each permuted
+    31-bit hash.  Exploded + groupBy(min) keeps partial aggregation
+    map-side (Catalyst does the combine)."""
+    params = minhash_params(k)
+    sh = docs.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col))).alias("sh"))
+    h = sh.select(id_col, X.hash31(F.col("sh")).alias("h"))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh_{j}")
+        for j, (a, b) in enumerate(params)
+    ]
+    return h.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", k: int = 16,
+                      bands: int = 4) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH: docs sharing any band bucket.
+
+    Output: (doc_a, doc_b) with doc_a < doc_b, distinct.  The band bucket is
+    the concatenated band signature — a pure shuffle key, so the self-join
+    is an equi-join on (band, bucket), never a cross join.
+    """
+    rows_per_band = k // bands
+    sig = minhash_signature(docs, id_col, text_col, k)
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.struct(F.lit(b).alias("band"),
+                                  F.concat_ws("_", *[c.cast("string") for c in cols]).alias("bucket")))
+    buckets = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text", bits: int = 32) -> DataFrame:
+    """(doc_id, simhash long): per-bit majority over 31-bit token hashes.
+
+    Single hash-aggregate with ``bits`` integer sum expressions — exact and
+    order-independent, so it hash-matches the generated oracle SQL.
+    """
+    tok = docs.select(F.col(id_col), F.explode(X.tokens(F.col(text_col))).alias("t"))
+    h = tok.select(id_col, X.hash31(F.col("t")).alias("h"))
+    sums = [
+        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+                     F.lit(1)).otherwise(F.lit(-1))).alias(f"s_{b}")
+        for b in range(bits)
+    ]
+    per_bit = h.groupBy(id_col).agg(*sums)
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"s_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return per_bit.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", lang_col: str = "lang",
+                        threshold_permille: int = 500) -> DataFrame:
+    """Near-dup pairs by exact n-gram Jaccard within (lang, length-bucket)
+    blocks: explode distinct shingles, equi-join on shingle+block, count
+    intersections, integer-compare 1000*|I| >= t*(|A|+|B|-|I|).
+
+    Output: (doc_a, doc_b, inter, n_a, n_b) — all integers, oracle-exact.
+    """
+    base = docs.select(
+        F.col(id_col),
+        F.col(lang_col).alias("blk_lang"),
+        F.floor(F.length(text_col) / F.lit(64)).alias("blk_len"),
+        shingles(F.col(text_col)).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+    ex = base.select(id_col, "blk_lang", "blk_len", "n_sh",
+                     F.explode("sh").alias("s"))
+    l, r = ex.alias("l"), ex.alias("r")
+    inter = (
+        l.join(r, ["blk_lang", "blk_len", "s"])
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .groupBy(F.col(f"l.{id_col}").alias("doc_a"),
+                 F.col(f"r.{id_col}").alias("doc_b"),
+                 F.col("l.n_sh").alias("n_a"),
+                 F.col("r.n_sh").alias("n_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    t = threshold_permille
+    return inter.filter(
+        F.lit(1000) * F.col("inter")
+        >= F.lit(t) * (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    ).select("doc_a", "doc_b", "inter", "n_a", "n_b")
