@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "docs_per_sec": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+HEADLINE = [
+    # geospatial core (micro space, 150k points at sf0.1)
+    "cell_index", "pip_assign", "knn_snap", "density_raster",
+    "raster_vectorize", "tile_assign", "cell_halo",
+    # relational
+    "q1_pricing", "topk_per_group", "sessionize",
+    # training-data ops
+    "simhash", "minhash_lsh_pairs", "ngram_jaccard",
+    "embedding_topk", "fingerprint",
+    # interleaved spans synthesis
+    "spans_explode",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from urbanistic_polygons_spark.catalog import build_catalog
+    from urbanistic_polygons_spark.session import get_spark
+
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=max(cpus, 8))
+    cat = build_catalog()
+
+    # warm the JVM + parquet footers once (not timed)
+    spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in HEADLINE:
+        fn = cat[name]["spark"]
+        t0 = time.perf_counter()
+        rows[name] = fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # flagship docs/sec: geo-span -> polygon assignment throughput over the
+    # spans synthesized from the sf documents table
+    n_points = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    total = round(sum(timings.values()), 3)
+    pip_knn = timings["pip_assign"] + timings["knn_snap"]
+    docs_per_sec = round(n_points / pip_knn, 1) if pip_knn > 0 else None
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(json.dumps({
+        "metric": "headline suite wall time (cell index + spatial join + "
+                  "kNN + raster + relational + dedup + similarity)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "cpus": cpus,
+        "docs_per_sec_spatial": docs_per_sec,
+        "rows": rows,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,794 @@
+"""Query catalog: every driver-checkable operator as (Spark query, DuckDB
+oracle SQL) pairs.
+
+Determinism contract: every computed value in an oracle-checked query is
+either an integer, a string, or a float produced by the IDENTICAL IEEE
+expression tree in both engines — so the driver's order-insensitive value
+hash matches bit-for-bit.  Money sums go through per-row integer cents
+(``CAST(ROUND(x*100) AS BIGINT)``), hashes through md5-hex-to-int
+(verified cross-engine), and geometry through an integer "micro-coordinate"
+space (10,000 micro-units = one z14 cell, mirroring the reference's 16384
+per-tile quantization grid, Tiles/TileStatic.cs:57-73).
+
+The real float lon/lat Mercator path is exercised by ``entry()`` and the
+pytest oracle suite; the catalog's micro-space queries verify the engine's
+join/agg/window/partitioning logic exactly.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+def _render(template: str, dialect: str) -> str:
+    """Tiny dialect shim: {D} integer division, {G} global-regex flag,
+    {SPLIT} tokenizer function name."""
+    if dialect == "spark":
+        return template.format(D="DIV", G="", SPLIT="split")
+    return template.format(D="//", G=", 'g'", SPLIT="string_split")
+
+
+def _sql_pair(template: str):
+    """A query defined once, executed by both engines (dialect-shimmed)."""
+    def spark_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(_render(template, "spark"))
+    return spark_fn, _render(template, "duckdb")
+
+
+# ---------------------------------------------------------------------------
+# Shared CTEs: integer micro-coordinate derivation
+# ---------------------------------------------------------------------------
+# 10,000 micro-units per cell; Belgian z14 cell window (x 8300+189,
+# y 5447+152 — reference Preprocessor/Program.cs:36-48).  All integer.
+
+PTS = """pts AS (
+  SELECT o_orderkey AS point_id,
+         (o_orderkey * 7919) % 1890000 AS px,
+         (o_custkey * 7907 + o_orderkey * 13) % 1520000 AS py,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS weight_cents
+  FROM orders
+), pts_cell AS (
+  SELECT *,
+         px {D} 10000 + 8300 AS cell_x,
+         py {D} 10000 + 5447 AS cell_y,
+         (py {D} 10000 + 5447) * 16384 + (px {D} 10000 + 8300) AS cell_id
+  FROM pts
+)"""
+
+RECTS = """rects AS (
+  SELECT p_partkey AS poly_id,
+         (p_partkey * 7919) % 1850000 AS x0,
+         (p_partkey * 7907) % 1470000 AS y0,
+         (p_partkey * 7919) % 1850000 + 10000 + (p_partkey % 37) * 1000 AS x1,
+         (p_partkey * 7907) % 1470000 + 10000 + (p_partkey % 41) * 1000 AS y1,
+         CASE p_partkey % 6 WHEN 0 THEN 'residential' WHEN 1 THEN 'industrial'
+              WHEN 2 THEN 'water' WHEN 3 THEN 'rural' WHEN 4 THEN 'natural'
+              ELSE 'school' END AS cls
+  FROM part
+)"""
+
+PIP_JOIN = """hits AS (
+  SELECT p.point_id, p.cell_id, p.px, p.py, p.weight_cents, r.poly_id, r.cls
+  FROM pts_cell p JOIN rects r
+    ON p.px >= r.x0 AND p.px < r.x1 AND p.py >= r.y0 AND p.py < r.y1
+)"""
+
+
+# -- Spark DataFrame builders for the micro space (the real engine plans:
+#    broadcast tiled index + candidate cell join + refine) -------------------
+
+def _pts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    o = spark.table("orders")
+    px = (F.col("o_orderkey") * 7919) % 1890000
+    py = (F.col("o_custkey") * 7907 + F.col("o_orderkey") * 13) % 1520000
+    return o.select(
+        F.col("o_orderkey").alias("point_id"),
+        px.alias("px"), py.alias("py"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("weight_cents"),
+    ).withColumns({
+        "cell_x": F.expr("px DIV 10000") + 8300,
+        "cell_y": F.expr("py DIV 10000") + 5447,
+    }).withColumn("cell_id", F.col("cell_y") * 16384 + F.col("cell_x"))
+
+
+def _rects_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    p = spark.table("part")
+    k = F.col("p_partkey")
+    x0 = (k * 7919) % 1850000
+    y0 = (k * 7907) % 1470000
+    return p.select(
+        k.alias("poly_id"),
+        x0.alias("x0"), y0.alias("y0"),
+        (x0 + 10000 + (k % 37) * 1000).alias("x1"),
+        (y0 + 10000 + (k % 41) * 1000).alias("y1"),
+        F.element_at(
+            F.array(*[F.lit(c) for c in
+                      ["residential", "industrial", "water",
+                       "rural", "natural", "school"]]),
+            (k % 6 + 1).cast("int")).alias("cls"),
+    )
+
+
+def _rect_cells(rects: DataFrame) -> DataFrame:
+    """Tiled rect index: one row per covering cell (broadcast side)."""
+    return rects.withColumn(
+        "cell_id",
+        F.explode(F.flatten(F.transform(
+            F.sequence(F.expr("y0 DIV 10000") + 5447, F.expr("y1 DIV 10000") + 5447),
+            lambda cy: F.transform(
+                F.sequence(F.expr("x0 DIV 10000") + 8300,
+                           F.expr("x1 DIV 10000") + 8300),
+                lambda cx: cy * 16384 + cx))))
+    )
+
+
+def _pip_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate cell equi-join against the broadcast tiled rect index,
+    then exact containment refine — the engine's real plan shape (J2/J3)."""
+    pts = _pts_df(spark, sf_dir)
+    index = _rect_cells(_rects_df(spark, sf_dir))
+    return (
+        pts.join(F.broadcast(index), "cell_id")
+        .filter((F.col("px") >= F.col("x0")) & (F.col("px") < F.col("x1"))
+                & (F.col("py") >= F.col("y0")) & (F.col("py") < F.col("y1")))
+    )
+
+
+def q_pip_assign_spark(spark, sf_dir):
+    return (
+        _pip_hits(spark, sf_dir)
+        .groupBy("point_id", "cell_id")
+        .agg(F.min("poly_id").alias("polygon_id"))
+    )
+
+
+def q_bbox_join_spark(spark, sf_dir):
+    return (
+        _pip_hits(spark, sf_dir)
+        .groupBy("poly_id")
+        .agg(F.count("*").alias("n_points"),
+             F.sum("weight_cents").alias("sum_weight_cents"))
+    )
+
+
+def q_landuse_agg_spark(spark, sf_dir):
+    return (
+        _pip_hits(spark, sf_dir)
+        .groupBy("cell_id", "cls")
+        .agg(F.sum("weight_cents").alias("sum_weight_cents"),
+             F.count("*").alias("n_points"))
+    )
+
+
+def q_tile_assign_spark(spark, sf_dir):
+    counts = (_pip_hits(spark, sf_dir)
+              .groupBy("cell_id", "cls").agg(F.count("*").alias("n")))
+    w = Window.partitionBy("cell_id").orderBy(F.desc("n"), F.asc("cls"))
+    return (counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("cell_id", F.col("cls").alias("dominant_cls"), "n"))
+
+
+def q_bbox_agg_spark(spark, sf_dir):
+    return (
+        _pip_hits(spark, sf_dir)
+        .groupBy("poly_id")
+        .agg(F.min("px").alias("min_px"), F.max("px").alias("max_px"),
+             F.min("py").alias("min_py"), F.max("py").alias("max_py"),
+             F.count("*").alias("n_points"))
+    )
+
+
+def q_knn_snap_spark(spark, sf_dir):
+    """Orphan points snapped to nearest rect: ring distance (cell Chebyshev
+    to the rect's covering-cell range) then integer squared distance to the
+    rect center, tie-break poly_id — broadcast join, no shuffle of points."""
+    pts = _pts_df(spark, sf_dir)
+    rects = _rects_df(spark, sf_dir)
+    matched = _pip_hits(spark, sf_dir).select("point_id").distinct()
+    orphans = pts.join(matched, "point_id", "left_anti")
+    r = rects.withColumns({
+        "rcx0": F.expr("x0 DIV 10000") + 8300,
+        "rcx1": F.expr("x1 DIV 10000") + 8300,
+        "rcy0": F.expr("y0 DIV 10000") + 5447,
+        "rcy1": F.expr("y1 DIV 10000") + 5447,
+        "cx": F.expr("(x0 + x1) DIV 2"),
+        "cy": F.expr("(y0 + y1) DIV 2"),
+    })
+    cand = orphans.crossJoin(F.broadcast(r))
+    ring = F.greatest(
+        F.greatest(F.lit(0), F.col("rcx0") - F.col("cell_x"),
+                   F.col("cell_x") - F.col("rcx1")),
+        F.greatest(F.lit(0), F.col("rcy0") - F.col("cell_y"),
+                   F.col("cell_y") - F.col("rcy1")))
+    d2 = ((F.col("px") - F.col("cx")) * (F.col("px") - F.col("cx"))
+          + (F.col("py") - F.col("cy")) * (F.col("py") - F.col("cy")))
+    scored = cand.select(
+        "point_id", "cell_id", "poly_id",
+        ring.alias("ring"), d2.alias("d2")).filter(F.col("ring") <= 3)
+    best = F.struct(F.col("ring"), F.col("d2"), F.col("poly_id").alias("p"))
+    return (scored.withColumn("b", best)
+            .groupBy("point_id", "cell_id")
+            .agg(F.min("b").alias("b"))
+            .select("point_id", "cell_id",
+                    F.col("b.p").alias("polygon_id"),
+                    F.col("b.ring").alias("ring"),
+                    F.col("b.d2").alias("d2")))
+
+
+def q_cell_halo_spark(spark, sf_dir):
+    """3x3 halo point totals per occupied cell: explode halo cells + equi
+    join (the engine's halo pattern, no theta join)."""
+    per_cell = (_pts_df(spark, sf_dir)
+                .groupBy("cell_x", "cell_y", "cell_id")
+                .agg(F.count("*").alias("n")))
+    halo = per_cell.select(
+        "cell_id",
+        F.explode(F.flatten(F.transform(
+            F.sequence(F.col("cell_y") - 1, F.col("cell_y") + 1),
+            lambda cy: F.transform(
+                F.sequence(F.col("cell_x") - 1, F.col("cell_x") + 1),
+                lambda cx: cy * 16384 + cx)))).alias("halo_cell"))
+    nbr = per_cell.select(F.col("cell_id").alias("halo_cell"),
+                          F.col("n").alias("n_nbr"))
+    return (halo.join(nbr, "halo_cell")
+            .groupBy("cell_id").agg(F.sum("n_nbr").alias("halo_points")))
+
+
+# ---------------------------------------------------------------------------
+# Text / dedup / similarity (Spark side = operator modules)
+# ---------------------------------------------------------------------------
+
+def q_text_stats_spark(spark, sf_dir):
+    from .functions import text as X
+    register_views(spark, sf_dir)
+    d = spark.table("documents")
+    return d.select(
+        "doc_id",
+        F.size(X.tokens(F.col("text"))).cast("long").alias("n_tok"),
+        X.n_tokens_regex(F.col("text")).cast("long").alias("n_tok_regex"),
+        X.punct_count(F.col("text")).cast("long").alias("n_punct"),
+        F.length("text").cast("long").alias("len_chars"),
+    )
+
+
+def q_lang_id_spark(spark, sf_dir):
+    from .functions import text as X
+    register_views(spark, sf_dir)
+    d = spark.table("documents")
+    scored = d.select("doc_id", *X.lang_scores(F.col("text")))
+    pred = (
+        F.when((F.col("score_en") >= F.col("score_es"))
+               & (F.col("score_en") >= F.col("score_fr"))
+               & (F.col("score_en") >= F.col("score_de")), "en")
+        .when((F.col("score_es") >= F.col("score_fr"))
+              & (F.col("score_es") >= F.col("score_de")), "es")
+        .when(F.col("score_fr") >= F.col("score_de"), "fr")
+        .otherwise("de"))
+    return scored.withColumn("pred_lang", pred)
+
+
+def q_quality_spark(spark, sf_dir):
+    from .functions import text as X
+    register_views(spark, sf_dir)
+    return spark.table("documents").select(
+        "doc_id", X.quality_score(F.col("text")).alias("quality"))
+
+
+def q_fingerprint_spark(spark, sf_dir):
+    from .functions import text as X
+    register_views(spark, sf_dir)
+    d = spark.table("documents")
+    fp = d.select("doc_id", X.fingerprint(F.col("text")).alias("fp"))
+    w = Window.partitionBy("fp")
+    return fp.select("doc_id", "fp",
+                     F.min("doc_id").over(w).alias("keeper"),
+                     F.count("*").over(w).cast("long").alias("group_size"))
+
+
+def q_simhash_spark(spark, sf_dir):
+    from .operators.dedup import simhash
+    register_views(spark, sf_dir)
+    return simhash(spark.table("documents"))
+
+
+def q_minhash_spark(spark, sf_dir):
+    from .operators.dedup import minhash_signature
+    register_views(spark, sf_dir)
+    return minhash_signature(spark.table("documents"), k=8)
+
+
+def _aug_docs(spark):
+    """documents + 90%-truncated copies (guaranteed near-dups for the
+    pair-finding queries; same construction in the oracle SQL)."""
+    d = spark.table("documents")
+    trunc = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.substring(F.col("text"), 1,
+                    F.expr("(9 * length(text)) DIV 10").cast("int")).alias("text"),
+        "lang", "source", "n_chars")
+    return d.select("doc_id", "text", "lang", "source", "n_chars").unionByName(trunc)
+
+
+def q_ngram_jaccard_spark(spark, sf_dir):
+    from .operators.dedup import ngram_jaccard_pairs
+    register_views(spark, sf_dir)
+    return ngram_jaccard_pairs(_aug_docs(spark), threshold_permille=500)
+
+
+def q_minhash_lsh_spark(spark, sf_dir):
+    from .operators.dedup import minhash_lsh_pairs
+    register_views(spark, sf_dir)
+    return minhash_lsh_pairs(_aug_docs(spark), k=16, bands=8)
+
+
+def q_embedding_topk_spark(spark, sf_dir):
+    from .operators.similarity import brute_force_topk
+    register_views(spark, sf_dir)
+    return brute_force_topk(spark.table("embeddings"), query_ids=list(range(8)), k=5)
+
+
+def q_embedding_ann_spark(spark, sf_dir):
+    from .operators.similarity import ann_topk
+    register_views(spark, sf_dir)
+    return ann_topk(spark.table("embeddings"), query_ids=list(range(8)), k=5)
+
+
+# ---------------------------------------------------------------------------
+# Interleaved spans synthesis + reconstruction (the input_hint table shape)
+# ---------------------------------------------------------------------------
+
+def q_spans_spark(spark, sf_dir):
+    """Deterministically synthesize the interleaved spans table from the
+    flat documents table and emit it exploded — one row per span with its
+    offset, so the driver's hash check IS the span-sequence-equality
+    invariant (kind, content, media_ref, order per doc_id)."""
+    from .functions import text as X
+    register_views(spark, sf_dir)
+    d = spark.table("documents")
+    toks = d.select("doc_id", X.tokens(F.col("text")).alias("t"))
+    chunks = toks.select(
+        "doc_id", "t",
+        F.posexplode(F.sequence(
+            F.lit(0),
+            F.greatest(F.floor((F.size("t") - 1) / 8).cast("long"), F.lit(0))
+        )).alias("pos", "i"))
+    text_spans = chunks.select(
+        "doc_id", (F.col("i") * 10).alias("span_offset"),
+        F.lit("text").alias("kind"),
+        F.concat_ws(" ", F.slice(F.col("t"), (F.col("i") * 8 + 1).cast("int"), 8)).alias("content"),
+        F.lit("").alias("media_ref"))
+    img_spans = chunks.filter(F.col("i") % 3 == 2).select(
+        "doc_id", (F.col("i") * 10 + 5).alias("span_offset"),
+        F.lit("image").alias("kind"), F.lit("").alias("content"),
+        F.concat(F.lit("blob://img/"), F.col("doc_id").cast("string"),
+                 F.lit("_"), F.col("i").cast("string")).alias("media_ref"))
+    geo_spans = d.select(
+        "doc_id", F.lit(9999999).alias("span_offset"),
+        F.lit("geo").alias("kind"),
+        F.concat(((F.col("doc_id") * 7919) % 1890000).cast("string"), F.lit(","),
+                 ((F.col("doc_id") * 7907 + 13) % 1520000).cast("string")).alias("content"),
+        F.lit("").alias("media_ref"))
+    return text_spans.unionByName(img_spans).unionByName(geo_spans)
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL (DuckDB dialect) for the module-backed queries
+# ---------------------------------------------------------------------------
+
+_TOKS = ("list_filter(string_split(lower(text), ' '), "
+         "x -> length(x) > 0)")
+
+_H31 = "CAST(('0x' || substr(md5({x}), 1, 8)) AS BIGINT) % 2147483647"
+
+_STOP = {
+    "en": "['the','and','of','to','in','is','that','for','with','as']",
+    "es": "['el','la','de','que','y','en','los','del','las','por']",
+    "fr": "['le','la','de','et','les','des','en','du','que','une']",
+    "de": "['der','die','und','das','von','zu','mit','den','des','ist']",
+}
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    sums = ",\n    ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{b}"
+        for b in range(bits))
+    val = " + ".join(
+        f"(CASE WHEN s_{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(bits))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS t FROM documents
+), th AS (
+  SELECT doc_id, {_H31.format(x='t')} AS h FROM tok
+), bits AS (
+  SELECT doc_id, {sums} FROM th GROUP BY doc_id
+)
+SELECT doc_id, CAST({val} AS BIGINT) AS simhash FROM bits
+"""
+
+
+_SHINGLES = """CASE WHEN len(t) >= 3
+  THEN list_transform(range(1, CAST(len(t) - 1 AS BIGINT)),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+  ELSE [array_to_string(t, ' ')] END"""
+
+
+def _minhash_sql(k: int = 8) -> str:
+    from .operators.dedup import minhash_params
+    params = minhash_params(k)
+    aggs = ",\n    ".join(
+        f"MIN((CAST({a} AS BIGINT) * h + {b}) % 2147483647) AS mh_{j}"
+        for j, (a, b) in enumerate(params))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS s FROM toks
+), h AS (
+  SELECT doc_id, {_H31.format(x='s')} AS h FROM sh
+)
+SELECT doc_id, {aggs} FROM h GROUP BY doc_id
+"""
+
+
+def _minhash_lsh_sql(k: int = 16, bands: int = 8) -> str:
+    from .operators.dedup import minhash_params
+    params = minhash_params(k)
+    rows = k // bands
+    aggs = ",\n    ".join(
+        f"MIN((CAST({a} AS BIGINT) * h + {b}) % 2147483647) AS mh_{j}"
+        for j, (a, b) in enumerate(params))
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, ".format(b=b)
+        + " || '_' || ".join(
+            f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows))
+        + " AS bucket FROM sig"
+        for b in range(bands))
+    return f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, substr(text, 1, CAST((9 * length(text)) // 10 AS INT))
+  FROM documents
+), toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM aug
+), sh AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS s FROM toks
+), h AS (
+  SELECT doc_id, {_H31.format(x='s')} AS h FROM sh
+), sig AS (
+  SELECT doc_id, {aggs} FROM h GROUP BY doc_id
+), buckets AS ({band_rows})
+SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+FROM buckets l JOIN buckets r ON l.band = r.band AND l.bucket = r.bucket
+WHERE l.doc_id < r.doc_id
+"""
+
+
+_NGRAM_JACCARD_SQL = f"""
+WITH aug AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         substr(text, 1, CAST((9 * length(text)) // 10 AS INT)), lang
+  FROM documents
+), toks AS (
+  SELECT doc_id, lang AS blk_lang, length(text) // 64 AS blk_len,
+         {_TOKS} AS t FROM aug
+), base AS (
+  SELECT doc_id, blk_lang, blk_len, {_SHINGLES} AS sh FROM toks
+), withn AS (
+  SELECT doc_id, blk_lang, blk_len, CAST(len(list_distinct(sh)) AS INT) AS n_sh, sh
+  FROM base
+), ex AS (
+  SELECT DISTINCT doc_id, blk_lang, blk_len, n_sh, unnest(sh) AS s FROM withn
+), inter AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, l.n_sh AS n_a, r.n_sh AS n_b,
+         COUNT(*) AS inter
+  FROM ex l JOIN ex r
+    ON l.blk_lang = r.blk_lang AND l.blk_len = r.blk_len AND l.s = r.s
+  WHERE l.doc_id < r.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b, inter, n_a, n_b FROM inter
+WHERE 1000 * inter >= 500 * (n_a + n_b - inter)
+"""
+
+_EMB_TOPK_SQL = """
+WITH b AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM b WHERE vec_id < 8
+), s AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, CAST(len(v) + 1 AS BIGINT)),
+                                      i -> v[i] * qv[i])) AS BIGINT) AS dot
+  FROM b, q WHERE vec_id <> query_id
+)
+SELECT query_id, neighbor_id, dot, CAST(rank AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY dot DESC, neighbor_id) AS rank
+  FROM s
+) WHERE rank <= 5
+"""
+
+
+def _lang_id_sql() -> str:
+    scores = ",\n  ".join(
+        f"CAST(len(list_filter({_TOKS}, t -> list_contains({arr}, t))) AS BIGINT)"
+        f" AS score_{lang}"
+        for lang, arr in _STOP.items())
+    return f"""
+WITH scored AS (
+  SELECT doc_id, {scores} FROM documents
+)
+SELECT *, CASE
+  WHEN score_en >= score_es AND score_en >= score_fr AND score_en >= score_de THEN 'en'
+  WHEN score_es >= score_fr AND score_es >= score_de THEN 'es'
+  WHEN score_fr >= score_de THEN 'fr'
+  ELSE 'de' END AS pred_lang
+FROM scored
+"""
+
+
+_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKS} AS toks FROM documents
+)
+SELECT doc_id,
+  CAST(FLOOR(1000 * len(list_filter(toks, x -> list_contains({_STOP['en']}, x)))
+       / GREATEST(len(toks), 1)) AS BIGINT)
+  + 100 * LEAST(CAST(FLOOR(length(text) / 100) AS BIGINT), 10)
+  - CAST(FLOOR(1000 * (length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')))
+        / GREATEST(length(text), 1)) AS BIGINT) AS quality
+FROM t
+"""
+
+_TEXT_STATS_SQL = f"""
+SELECT doc_id,
+  CAST(len({_TOKS}) AS BIGINT) AS n_tok,
+  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+    AS n_tok_regex,
+  CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS BIGINT)
+    AS n_punct,
+  CAST(length(text) AS BIGINT) AS len_chars
+FROM documents
+"""
+
+_FINGERPRINT_SQL = """
+WITH fp AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+)
+SELECT doc_id, fp,
+       MIN(doc_id) OVER (PARTITION BY fp) AS keeper,
+       COUNT(*) OVER (PARTITION BY fp) AS group_size
+FROM fp
+"""
+
+_SPANS_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+                             x -> length(x) > 0) AS t
+  FROM documents
+), chunks AS (
+  SELECT doc_id, t,
+         unnest(range(0, GREATEST((CAST(len(t) AS BIGINT) - 1) // 8, 0) + 1)) AS i
+  FROM toks
+), text_spans AS (
+  SELECT doc_id, i * 10 AS span_offset, 'text' AS kind,
+         array_to_string(t[(i*8+1):(i*8+8)], ' ') AS content, '' AS media_ref
+  FROM chunks
+), img_spans AS (
+  SELECT doc_id, i * 10 + 5, 'image', '',
+         'blob://img/' || CAST(doc_id AS VARCHAR) || '_' || CAST(i AS VARCHAR)
+  FROM chunks WHERE i % 3 = 2
+), geo_spans AS (
+  SELECT doc_id, 9999999, 'geo',
+         CAST((doc_id * 7919) % 1890000 AS VARCHAR) || ',' ||
+         CAST((doc_id * 7907 + 13) % 1520000 AS VARCHAR), ''
+  FROM documents
+)
+SELECT * FROM text_spans
+UNION ALL SELECT * FROM img_spans
+UNION ALL SELECT * FROM geo_spans
+"""
+
+
+# ---------------------------------------------------------------------------
+# The catalog
+# ---------------------------------------------------------------------------
+
+def build_catalog() -> dict[str, dict]:
+    """name -> {spark: fn(spark, sf_dir) -> DataFrame, oracle: sql | None}"""
+    cat: dict[str, dict] = {}
+
+    def sql_q(name, template):
+        fn, oracle = _sql_pair(template)
+        cat[name] = {"spark": fn, "oracle": oracle}
+
+    def df_q(name, fn, oracle=None):
+        cat[name] = {"spark": fn, "oracle": oracle}
+
+    # -- geospatial core over the integer micro space -----------------------
+    sql_q("cell_index", f"""
+WITH {PTS}
+SELECT cell_id, COUNT(*) AS n_points, MIN(px) AS min_px, MAX(px) AS max_px,
+       SUM(weight_cents) AS sum_weight_cents
+FROM pts_cell GROUP BY cell_id""")
+
+    sql_q("salted_prefix", f"""
+WITH {PTS}
+SELECT (cell_id {{D}} 256) * 8 + point_id % 8 AS salted_key, COUNT(*) AS n
+FROM pts_cell GROUP BY 1""")
+
+    sql_q("density_raster", f"""
+WITH {PTS}
+SELECT cell_id, (px % 10000) {{D}} 625 AS gx, (py % 10000) {{D}} 625 AS gy,
+       COUNT(*) AS n
+FROM pts_cell GROUP BY 1, 2, 3""")
+
+    # density -> vector: threshold the coarse global raster, then merge
+    # contiguous x-runs per row into segments (window island detection) —
+    # the SQL-expressible analog of raster-to-vector tracing
+    sql_q("raster_vectorize", f"""
+WITH {PTS},
+g AS (
+  SELECT px {{D}} 100000 AS gx, py {{D}} 100000 AS gy, COUNT(*) AS n
+  FROM pts_cell GROUP BY 1, 2
+), f AS (
+  SELECT * FROM g WHERE n >= 3
+), m AS (
+  SELECT *, gx - ROW_NUMBER() OVER (PARTITION BY gy ORDER BY gx) AS grp
+  FROM f
+)
+SELECT gy, MIN(gx) AS x_start, MAX(gx) AS x_end, SUM(n) AS n_points
+FROM m GROUP BY gy, grp""")
+
+    df_q("pip_assign", q_pip_assign_spark, _render(f"""
+WITH {PTS}, {RECTS}, {PIP_JOIN}
+SELECT point_id, cell_id, MIN(poly_id) AS polygon_id
+FROM hits GROUP BY point_id, cell_id""", "duckdb"))
+
+    df_q("bbox_join", q_bbox_join_spark, _render(f"""
+WITH {PTS}, {RECTS}, {PIP_JOIN}
+SELECT poly_id, COUNT(*) AS n_points, SUM(weight_cents) AS sum_weight_cents
+FROM hits GROUP BY poly_id""", "duckdb"))
+
+    df_q("landuse_agg", q_landuse_agg_spark, _render(f"""
+WITH {PTS}, {RECTS}, {PIP_JOIN}
+SELECT cell_id, cls, SUM(weight_cents) AS sum_weight_cents,
+       COUNT(*) AS n_points
+FROM hits GROUP BY cell_id, cls""", "duckdb"))
+
+    df_q("tile_assign", q_tile_assign_spark, _render(f"""
+WITH {PTS}, {RECTS}, {PIP_JOIN},
+c AS (SELECT cell_id, cls, COUNT(*) AS n FROM hits GROUP BY 1, 2)
+SELECT cell_id, cls AS dominant_cls, n FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY cell_id ORDER BY n DESC, cls) AS rn
+  FROM c
+) WHERE rn = 1""", "duckdb"))
+
+    df_q("bbox_agg", q_bbox_agg_spark, _render(f"""
+WITH {PTS}, {RECTS}, {PIP_JOIN}
+SELECT poly_id, MIN(px) AS min_px, MAX(px) AS max_px,
+       MIN(py) AS min_py, MAX(py) AS max_py, COUNT(*) AS n_points
+FROM hits GROUP BY poly_id""", "duckdb"))
+
+    df_q("knn_snap", q_knn_snap_spark, _render(f"""
+WITH {PTS}, {RECTS}, {PIP_JOIN},
+orph AS (
+  SELECT * FROM pts_cell
+  WHERE point_id NOT IN (SELECT point_id FROM hits)
+), r2 AS (
+  SELECT *, x0 {{D}} 10000 + 8300 AS rcx0, x1 {{D}} 10000 + 8300 AS rcx1,
+         y0 {{D}} 10000 + 5447 AS rcy0, y1 {{D}} 10000 + 5447 AS rcy1,
+         (x0 + x1) {{D}} 2 AS cx, (y0 + y1) {{D}} 2 AS cy
+  FROM rects
+), scored AS (
+  SELECT o.point_id, o.cell_id, r2.poly_id,
+         GREATEST(GREATEST(0, rcx0 - o.cell_x, o.cell_x - rcx1),
+                  GREATEST(0, rcy0 - o.cell_y, o.cell_y - rcy1)) AS ring,
+         (o.px - cx) * (o.px - cx) + (o.py - cy) * (o.py - cy) AS d2
+  FROM orph o CROSS JOIN r2
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY point_id
+                               ORDER BY ring, d2, poly_id) AS rn
+  FROM scored WHERE ring <= 3
+)
+SELECT point_id, cell_id, poly_id AS polygon_id, ring, d2
+FROM ranked WHERE rn = 1""", "duckdb"))
+
+    df_q("cell_halo", q_cell_halo_spark, _render(f"""
+WITH {PTS},
+c AS (SELECT cell_x, cell_y, cell_id, COUNT(*) AS n
+      FROM pts_cell GROUP BY 1, 2, 3)
+SELECT a.cell_id, SUM(b.n) AS halo_points
+FROM c a JOIN c b
+  ON ABS(a.cell_x - b.cell_x) <= 1 AND ABS(a.cell_y - b.cell_y) <= 1
+GROUP BY a.cell_id""", "duckdb"))
+
+    # -- relational coverage (agg / window / pivot / sessionize) ------------
+    sql_q("q1_pricing", """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+         AS sum_disc_cents
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus""")
+
+    sql_q("topk_per_group", """
+SELECT p_brand, p_partkey, price_cents, rk FROM (
+  SELECT p_brand, p_partkey,
+         CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents,
+         ROW_NUMBER() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey) AS rk
+  FROM part
+) WHERE rk <= 3""")
+
+    sql_q("pivot_status", """
+SELECT o_orderpriority,
+       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+       SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+FROM orders GROUP BY o_orderpriority""")
+
+    sql_q("sessionize", """
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, event_id,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o
+)
+SELECT user_id, COUNT(DISTINCT session_id) AS n_sessions,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id""")
+
+    sql_q("dedup_keeper", """
+SELECT o_custkey, o_orderstatus, MIN(o_orderkey) AS keeper, COUNT(*) AS n
+FROM orders GROUP BY o_custkey, o_orderstatus""")
+
+    # -- text / dedup / similarity ------------------------------------------
+    df_q("text_stats", q_text_stats_spark, _TEXT_STATS_SQL)
+    df_q("lang_id", q_lang_id_spark, _lang_id_sql())
+    df_q("quality_score", q_quality_spark, _QUALITY_SQL)
+    df_q("fingerprint", q_fingerprint_spark, _FINGERPRINT_SQL)
+    df_q("simhash", q_simhash_spark, _simhash_sql())
+    df_q("minhash_sig", q_minhash_spark, _minhash_sql(k=8))
+    df_q("minhash_lsh_pairs", q_minhash_lsh_spark, _minhash_lsh_sql(k=16, bands=8))
+    df_q("ngram_jaccard", q_ngram_jaccard_spark, _NGRAM_JACCARD_SQL)
+    df_q("embedding_topk", q_embedding_topk_spark, _EMB_TOPK_SQL)
+    # LSH-ANN: float hyperplane sums aren't oracle-safe -> rows-only check
+    df_q("embedding_ann", q_embedding_ann_spark, None)
+
+    # -- interleaved spans synthesis (input_hint shape) ----------------------
+    df_q("spans_explode", q_spans_spark, _SPANS_SQL)
+
+    return cat

@@ -294,6 +294,55 @@ def points_in_polygon(px: np.ndarray, py: np.ndarray,
     return (np.sum(crossings, axis=1) % 2).astype(bool)
 
 
+def clip_polygon_convex(subject_x: np.ndarray, subject_y: np.ndarray,
+                        clip_x: np.ndarray, clip_y: np.ndarray):
+    """Sutherland–Hodgman: clip an arbitrary ring by a CONVEX ring.
+
+    Pure-NumPy replacement for the reference's NTS ``Intersection``
+    (Landuse/TiledBarrierGraphExtensions.cs:58-72) — sufficient for the
+    area-overlap join because the landuse clipper rings are convex; the
+    general concave-concave case is noted as a limitation and counted, not
+    crashed on (mirroring the reference's non-noded-intersection catch at
+    :74-83).  Returns (x, y) arrays of the clipped ring (possibly empty).
+    """
+    sx = list(np.asarray(subject_x, np.float64))
+    sy = list(np.asarray(subject_y, np.float64))
+    cx = np.asarray(clip_x, np.float64)
+    cy = np.asarray(clip_y, np.float64)
+    # ensure counter-clockwise clipper so "inside" = left of each edge
+    if signed_area(cx, cy) < 0:
+        cx, cy = cx[::-1], cy[::-1]
+    n = len(cx)
+    for i in range(n):
+        ex1, ey1 = cx[i], cy[i]
+        ex2, ey2 = cx[(i + 1) % n], cy[(i + 1) % n]
+        if not sx:
+            break
+        nx, ny = [], []
+        m = len(sx)
+        for j in range(m):
+            px1, py1 = sx[j], sy[j]
+            px2, py2 = sx[(j + 1) % m], sy[(j + 1) % m]
+            d1 = (ex2 - ex1) * (py1 - ey1) - (ey2 - ey1) * (px1 - ex1)
+            d2 = (ex2 - ex1) * (py2 - ey1) - (ey2 - ey1) * (px2 - ex1)
+            if d1 >= 0:
+                nx.append(px1)
+                ny.append(py1)
+            if (d1 > 0) != (d2 > 0) and d1 != d2:
+                t = d1 / (d1 - d2)
+                nx.append(px1 + t * (px2 - px1))
+                ny.append(py1 + t * (py2 - py1))
+        sx, sy = nx, ny
+    return np.array(sx), np.array(sy)
+
+
+def polygon_area(x: np.ndarray, y: np.ndarray) -> float:
+    """Absolute shoelace area."""
+    if len(x) < 3:
+        return 0.0
+    return abs(signed_area(x, y))
+
+
 def bbox_overlaps(aminx, aminy, amaxx, amaxy, bminx, bminy, bmaxx, bmaxy,
                   eps: float = 1e-8) -> np.ndarray:
     """Box-overlap with the reference's epsilon (Geo/GeoExtensions.cs:666-684)."""
