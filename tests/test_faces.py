@@ -27,7 +27,7 @@ def triangle():
 
 def test_no_edges_does_nothing():
     g = TileGraph()
-    assert g.assign_faces() == 1  # only the sentinel
+    assert g.assign_faces()[0] == 1  # only the sentinel
 
 
 def test_one_edge_assigns_only_sentinel():
@@ -36,7 +36,7 @@ def test_one_edge_assigns_only_sentinel():
     v1 = g.add_vertex(4.7522735595703125, 50.97918242660188)
     v2 = g.add_vertex(4.7525310516357420, 50.97851368626033)
     g.add_edge(v1, v2)
-    assert g.assign_faces() == 1
+    assert g.assign_faces()[0] == 1
     assert g.face_left[0] == UNASSIGNABLE
     assert g.face_right[0] == UNASSIGNABLE
 
@@ -44,22 +44,24 @@ def test_one_edge_assigns_only_sentinel():
 def test_right_turn_loop_forward():
     # reference Faces_RightTurnLoop_3EdgeLoop_Forward_ShouldReturnClockwiseLoop
     g, (v1, v2, v3), (e1, e2, e3) = triangle()
-    loop = g.right_turn_loop(e1, True)
+    loop, missing = g.right_turn_loop(e1, True)
+    assert not missing
     assert loop == [(v1, e1, True, v2), (v2, e2, True, v3), (v3, e3, True, v1)]
 
 
 def test_right_turn_loop_backward():
     # reference Faces_RightTurnLoop_3EdgeLoop_Backward_ShouldReturnCounterClockwiseLoop
     g, (v1, v2, v3), (e1, e2, e3) = triangle()
-    loop = g.right_turn_loop(e1, False)
+    loop, missing = g.right_turn_loop(e1, False)
+    assert not missing
     assert loop == [(v2, e1, False, v1), (v1, e3, False, v3), (v3, e2, False, v2)]
 
 
 def test_triangle_assigns_interior_and_exterior():
     # reference Faces_AssignFaces_OneLoop1_ShouldAssign2 (+ sentinel = 3)
     g, _, (e1, e2, e3) = triangle()
-    n = g.assign_faces()
-    assert n == 3
+    n, n_missing = g.assign_faces()
+    assert n == 3 and n_missing == 0
     # each edge has both sides assigned, and the two non-sentinel faces each
     # cover all three edges (interior + exterior)
     sides = [g.face_left[e] for e in (e1, e2, e3)] + [g.face_right[e] for e in (e1, e2, e3)]
@@ -106,7 +108,7 @@ def test_dangling_spur_gets_sentinel():
 
 def test_faces_kernel_pandas():
     pdf = pd.DataFrame({
-        "anchor_cell": [1] * 3,
+        "anchor_cell": [89546969] * 3,
         "v1_lon": [V1[0], V2[0], V3[0]],
         "v1_lat": [V1[1], V2[1], V3[1]],
         "v2_lon": [V2[0], V3[0], V1[0]],
@@ -135,6 +137,6 @@ def test_faces_kernel_partition_invariance():
         "shape_pts": [None, None, None],
         "in_anchor": [True, True, True],
     }
-    a = faces_kernel(pd.DataFrame({"anchor_cell": [11] * 3, **base}))
-    b = faces_kernel(pd.DataFrame({"anchor_cell": [22] * 3, **base}))
+    a = faces_kernel(pd.DataFrame({"anchor_cell": [89546969] * 3, **base}))
+    b = faces_kernel(pd.DataFrame({"anchor_cell": [89546970] * 3, **base}))
     assert sorted(a["face_guid"]) == sorted(b["face_guid"])

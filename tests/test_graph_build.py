@@ -1,0 +1,68 @@
+"""End-to-end graph pipeline: ways grid -> standardized edges -> per-cell
+face extraction, verified against combinatorial expectations (a k x k
+street lattice has (k-1)^2 interior faces + 1 exterior face)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from urbanistic_polygons_spark import datagen
+from urbanistic_polygons_spark.operators.graph_build import (
+    bucket_edges_by_cell, build_faces_from_ways, classify_barriers,
+    detect_vertices, resolve_way_nodes, split_ways_to_edges,
+)
+
+K = 5
+
+
+@pytest.fixture(scope="module")
+def grid(spark):
+    nodes_pdf, ways_pdf = datagen.gen_ways_grid(k=K, seed=44)
+    nodes = spark.createDataFrame(nodes_pdf, schema="node_id long, lon double, lat double")
+    ways = spark.createDataFrame(
+        ways_pdf, schema="way_id long, nodes array<long>, tags map<string,string>")
+    return nodes, ways
+
+
+def test_classify_barriers(grid):
+    nodes, ways = grid
+    b = classify_barriers(ways)
+    # 2k streets + 1 spur are barriers; 3 landuse rings are not
+    assert b.count() == 2 * K + 1
+
+
+def test_detect_vertices(grid):
+    nodes, ways = grid
+    wn = resolve_way_nodes(nodes, classify_barriers(ways))
+    v = detect_vertices(wn).filter("is_vertex")
+    # every lattice node is an intersection (2 ways) => vertex; spur end too
+    assert v.count() == K * K + 1
+
+
+def test_split_edges_count_and_orientation(grid):
+    nodes, ways = grid
+    edges = split_ways_to_edges(nodes, classify_barriers(ways))
+    pdf = edges.toPandas()
+    # lattice: k rows * (k-1) horizontal segments + same vertical + 1 spur
+    assert len(pdf) == 2 * K * (K - 1) + 1
+    # G5: every edge oriented west -> east
+    assert (pdf.v1_lon < pdf.v2_lon).all()
+
+
+def test_faces_grid(spark, grid):
+    nodes, ways = grid
+    faces = build_faces_from_ways(nodes, ways).toPandas()
+    # (k-1)^2 interior cells + 1 exterior ring face
+    assert len(faces) == (K - 1) ** 2 + 1
+    assert faces.face_guid.nunique() == len(faces)
+    # interior faces have 4 edges each; exterior has 4(k-1)
+    n_edges = sorted(faces.n_edges)
+    assert n_edges[:-1] == [4] * ((K - 1) ** 2)
+    assert n_edges[-1] == 4 * (K - 1)
+
+
+def test_faces_partition_invariance(spark, grid):
+    nodes, ways = grid
+    a = build_faces_from_ways(nodes, ways).toPandas()
+    b = build_faces_from_ways(nodes.repartition(7), ways.repartition(5)).toPandas()
+    assert sorted(a.face_guid) == sorted(b.face_guid)

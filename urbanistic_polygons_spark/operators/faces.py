@@ -118,11 +118,54 @@ class TileGraph:
         nhead = nv2 if nf else nv1
         return ne, nf, head, nhead
 
+    # -- pruning (G3) --------------------------------------------------------
+
+    def prune_dead_ends(self, vertex_in_scope=None) -> list[bool]:
+        """Iteratively delete edges whose endpoint has degree 1 (reference
+        PruneDeadEnds, Graphs/Barrier/TiledBarrierGraphExtensions.cs:257-297).
+
+        ``vertex_in_scope(v) -> bool`` suppresses pruning at vertices whose
+        true degree may be unknown (outside the loaded halo — reference
+        :273/:292 skip edges touching unloaded tiles).  Self-loops are kept.
+        Returns the alive mask and rewrites adjacency in place.
+        """
+        alive = [True] * len(self.edges)
+        deg = [0] * len(self.vx)
+        for e, (v1, v2, _) in enumerate(self.edges):
+            deg[v1] += 1
+            if v2 != v1:
+                deg[v2] += 1
+        queue = [v for v in range(len(self.vx)) if deg[v] == 1]
+        while queue:
+            v = queue.pop()
+            if deg[v] != 1:
+                continue
+            if vertex_in_scope is not None and not vertex_in_scope(v):
+                continue
+            e = next((e for e in self.adj[v] if alive[e]), None)
+            if e is None:
+                continue
+            v1, v2, _ = self.edges[e]
+            if v1 == v2:
+                continue  # self-loop, keep
+            alive[e] = False
+            deg[v1] -= 1
+            deg[v2] -= 1
+            other = v2 if v1 == v else v1
+            if deg[other] == 1:
+                queue.append(other)
+        for v in range(len(self.adj)):
+            self.adj[v] = [e for e in self.adj[v] if alive[e]]
+        return alive
+
     # -- right-turn loop + face assignment ----------------------------------
 
-    def right_turn_loop(self, e: int, forward: bool):
-        """Reference Faces.cs:67-102.  Returns list of (v1, e, fwd, v2) or
-        None when a directed edge repeats (degenerate walk)."""
+    def right_turn_loop(self, e: int, forward: bool, vertex_loaded=None):
+        """Reference Faces.cs:67-102.  Returns (path, missing):
+        path = list of (v1, e, fwd, v2) or None when a directed edge repeats
+        (degenerate walk); missing = True when the walk stepped onto a
+        vertex outside the loaded halo (reference HasTileFor check at
+        Faces.cs:82-86 — the caller must retry with a bigger halo)."""
         v1, v2, _ = self.edges[e]
         if not forward:
             v1, v2 = v2, v1
@@ -133,20 +176,23 @@ class TileGraph:
             ne, nf, nv1, nv2 = nxt
             if ne == path[-1][1]:  # u-turn
                 break
+            if vertex_loaded is not None and not vertex_loaded(nv2):
+                return None, True
             path.append((nv1, ne, nf, nv2))
             if (ne, nf) in seen:
-                return None  # directed edge visited twice -> abort
+                return None, False  # directed edge visited twice -> abort
             seen.add((ne, nf))
             if nv2 == path[0][0]:
                 break
             nxt = self.next_right(ne, nf)
-        return path
+        return path, False
 
-    def _assign_face(self, e: int, forward: bool) -> None:
-        """Reference Faces.cs:104-150."""
-        loop = self.right_turn_loop(e, forward)
+    def _assign_face(self, e: int, forward: bool, vertex_loaded=None) -> bool:
+        """Reference Faces.cs:104-150.  Returns True when the walk left the
+        loaded halo (missing tiles -> caller retries with a bigger halo)."""
+        loop, missing = self.right_turn_loop(e, forward, vertex_loaded)
         if loop is None:
-            return
+            return missing
         face = UNASSIGNABLE
         if loop[0][0] == loop[-1][3]:
             # closed: strip sub-paths traversing the same edge twice
@@ -168,16 +214,20 @@ class TileGraph:
                 self.face_right[le] = face
             else:
                 self.face_left[le] = face
+        return False
 
-    def assign_faces(self, in_scope=None) -> int:
+    def assign_faces(self, in_scope=None, vertex_loaded=None) -> tuple[int, int]:
         """Reference Faces.cs:16-65.  ``in_scope(e) -> bool`` limits face
         seeding to edges overlapping the anchor tile box (halo edges only
-        participate when reached by a walk).  Returns number of faces
-        (including the sentinel), like the reference's FaceCount.
+        participate when reached by a walk); ``vertex_loaded(v) -> bool``
+        aborts walks leaving the loaded halo.  Returns (face count including
+        the sentinel, number of halo-aborted walks — the reference's
+        missing-tiles signal, TiledBarrierGraphBuilder.cs:53-61).
         """
         self.face_left = [None] * len(self.edges)
         self.face_right = [None] * len(self.edges)
         self.n_faces = 1  # face 0 = unassignable sentinel
+        n_missing = 0
         for v in range(len(self.vx)):
             for e in self.adj[v]:
                 v1, v2, _ = self.edges[e]
@@ -188,8 +238,9 @@ class TileGraph:
                     continue
                 if not forward and self.face_left[e] is not None:
                     continue
-                self._assign_face(e, forward)
-        return self.n_faces
+                if self._assign_face(e, forward, vertex_loaded):
+                    n_missing += 1
+        return self.n_faces, n_missing
 
     # -- face -> ring ------------------------------------------------------
 
@@ -279,6 +330,7 @@ def faces_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             columns=["anchor_cell", "face_guid", "ring", "min_lon", "min_lat",
                      "max_lon", "max_lat", "n_edges"])
     anchor = int(pdf["anchor_cell"].iloc[0])
+    halo_ring = int(pdf["halo_ring"].iloc[0]) if "halo_ring" in pdf.columns else 1
     g = TileGraph()
     vindex: dict[tuple, int] = {}
 
@@ -298,9 +350,32 @@ def faces_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         e = g.add_edge(v1, v2, shape)
         in_anchor_edges.append(bool(row.in_anchor))
 
-    g.assign_faces(in_scope=lambda e: in_anchor_edges[e])
+    # loaded set = this anchor's halo; degree/walks are only trustworthy for
+    # vertices inside it (reference tile-loaded checks)
+    halo = set(kernels.neighbor_cells(np.array([anchor]),
+                                      ring=halo_ring)[0].tolist())
+    vcell = kernels.tile_local_id(
+        *kernels.world_to_tile(np.array(g.vx), np.array(g.vy)))
+
+    def vertex_loaded(v: int) -> bool:
+        return int(vcell[v]) in halo
+
+    # G3: prune dead-end spurs at in-halo vertices only
+    alive = g.prune_dead_ends(vertex_loaded)
+    in_anchor_edges = [ia and alive[e] for e, ia in enumerate(in_anchor_edges)]
+
+    _, n_missing = g.assign_faces(in_scope=lambda e: in_anchor_edges[e],
+                                  vertex_loaded=vertex_loaded)
 
     rows = []
+    if n_missing > 0:
+        # sentinel row: this anchor needs a bigger halo (reference
+        # missing-tile expansion loop, TiledBarrierGraphBuilder.cs:53-61)
+        rows.append({
+            "anchor_cell": anchor, "face_guid": None, "ring": "",
+            "min_lon": 0.0, "min_lat": 0.0, "max_lon": 0.0, "max_lat": 0.0,
+            "n_edges": int(n_missing),
+        })
     edges_per_face: dict[int, int] = {}
     for e in range(len(g.edges)):
         for f in (g.face_left[e], g.face_right[e]):
@@ -338,14 +413,17 @@ def _ring_guid(lons: np.ndarray, lats: np.ndarray) -> str:
 
 
 def extract_faces(edges_df, anchor_col: str = "anchor_cell"):
-    """DataFrame-level face extraction: group the halo-replicated edge set by
-    anchor cell and run :func:`faces_kernel` per group, then dedup faces that
-    span tiles by content-addressed GUID (reference cross-tile dedup,
-    TiledPolygonGraphBuilder.cs:33-45).
+    """DataFrame-level face extraction for ONE halo round: group the
+    halo-replicated edge set by anchor cell and run :func:`faces_kernel` per
+    group.  Output has real face rows plus sentinel rows (face_guid IS NULL,
+    n_edges = aborted-walk count) for anchors whose walks left the halo —
+    the caller retries those at a larger ring (reference missing-tile loop,
+    TiledBarrierGraphBuilder.cs:53-61) and dedups faces across anchors by
+    content-addressed GUID (reference TiledPolygonGraphBuilder.cs:33-45).
 
-    ``edges_df`` columns: anchor_cell, v1_lon, v1_lat, v2_lon, v2_lat,
-    shape_pts, in_anchor.  Scale note: groups are skew-prone (urban cores); callers
-    repartition by a salted cell prefix upstream and AQE handles the rest.
+    ``edges_df`` columns: anchor_cell, halo_ring, v1_lon, v1_lat, v2_lon,
+    v2_lat, shape_pts, in_anchor.  Scale note: groups are skew-prone (urban
+    cores); callers repartition by a salted cell prefix upstream and AQE
+    handles the rest.
     """
-    out = edges_df.groupBy(anchor_col).applyInPandas(faces_kernel, FACES_OUT_SCHEMA)
-    return out.dropDuplicates(["face_guid"])
+    return edges_df.groupBy(anchor_col).applyInPandas(faces_kernel, FACES_OUT_SCHEMA)

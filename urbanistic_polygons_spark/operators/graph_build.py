@@ -77,14 +77,15 @@ def split_ways_to_edges(nodes: DataFrame, ways: DataFrame) -> DataFrame:
     verts = detect_vertices(wn)
     wn = wn.join(verts, "node_id")
 
-    # segment id = running count of vertices seen up to this pos (a vertex
-    # CLOSES the previous segment and OPENS the next, so it belongs to both:
-    # emit vertex rows twice, once as tail of seg-1, once as head of seg)
+    # segment numbering: with vseq = running count of vertices up to and
+    # including this pos, a vertex OPENS segment vseq-1 and CLOSES segment
+    # vseq-2; a shape point belongs to segment vseq-1.  Vertices are emitted
+    # twice (head + tail) so both neighboring segments get the boundary node.
     w = Window.partitionBy("way_id").orderBy("pos")
     wn = wn.withColumn(
         "vseq", F.sum(F.col("is_vertex").cast("int")).over(w))
-    head = wn.withColumn("seg", F.col("vseq") - F.when(F.col("is_vertex"), 1).otherwise(0))
-    tail = wn.filter(F.col("is_vertex")).withColumn("seg", F.col("vseq") - 1)
+    head = wn.withColumn("seg", F.col("vseq") - 1)
+    tail = wn.filter(F.col("is_vertex")).withColumn("seg", F.col("vseq") - 2)
     both = head.unionByName(tail).filter(F.col("seg") >= 0)
 
     seg_pts = (
@@ -100,8 +101,7 @@ def split_ways_to_edges(nodes: DataFrame, ways: DataFrame) -> DataFrame:
         first["lon"].alias("a_lon"), first["lat"].alias("a_lat"),
         last["lon"].alias("b_lon"), last["lat"].alias("b_lat"),
         F.concat_ws(";", F.transform(
-            mids, lambda p: F.concat_ws(" ", F.format_number(p["lon"], 9),
-                                        F.format_number(p["lat"], 9)))).alias("mid_str"),
+            mids, lambda p: F.format_string("%.9f %.9f", p["lon"], p["lat"]))).alias("mid_str"),
         F.transform("pts", lambda p: p["lon"]).alias("all_lons"),
         F.transform("pts", lambda p: p["lat"]).alias("all_lats"),
     )
@@ -149,17 +149,42 @@ def bucket_edges_by_cell(edges: DataFrame, halo_ring: int = 1) -> DataFrame:
         .groupBy("anchor_cell", "way_id", "seg", "v1_lon", "v1_lat",
                  "v2_lon", "v2_lat", "shape_pts")
         .agg(F.max("in_anchor").alias("in_anchor"))
+        .withColumn("halo_ring", F.lit(halo_ring))
     )
     return out
 
 
 def build_faces_from_ways(nodes: DataFrame, ways: DataFrame,
-                          halo_ring: int = 1) -> DataFrame:
+                          max_ring: int = 4) -> DataFrame:
     """End-to-end: barrier ways -> planar edges -> per-cell face polygons
-    with content-addressed GUIDs, cross-cell dedup'd."""
+    with content-addressed GUIDs, cross-cell dedup'd.
+
+    G6 missing-tile expansion, batched: anchors whose face walks leave their
+    halo (sentinel rows from the kernel) are retried with a 1-bigger halo —
+    the Spark analog of the reference's load-missing-tiles-and-retry loop
+    (TiledBarrierGraphBuilder.cs:53-61), but as one extra shuffle per round
+    over only the failed anchors instead of per-tile lazy I/O.
+    """
     from .faces import extract_faces
 
     barriers = classify_barriers(ways)
-    edges = split_ways_to_edges(nodes, barriers)
-    bucketed = bucket_edges_by_cell(edges, halo_ring)
-    return extract_faces(bucketed)
+    edges = split_ways_to_edges(nodes, barriers).cache()
+
+    results = []
+    retry_anchors = None  # None = all anchors (round 1)
+    for ring in range(1, max_ring + 1):
+        bucketed = bucket_edges_by_cell(edges, ring)
+        if retry_anchors is not None:
+            bucketed = bucketed.join(F.broadcast(retry_anchors),
+                                     "anchor_cell", "left_semi")
+        out = extract_faces(bucketed).cache()
+        results.append(out.filter(F.col("face_guid").isNotNull()))
+        retry_anchors = (out.filter(F.col("face_guid").isNull())
+                         .select("anchor_cell").distinct())
+        if ring == max_ring or retry_anchors.isEmpty():
+            break
+
+    faces = results[0]
+    for r in results[1:]:
+        faces = faces.unionByName(r)
+    return faces.dropDuplicates(["face_guid"])

@@ -1,0 +1,180 @@
+"""Mapbox Vector Tile (MVT) sink: a from-scratch pure-Python protobuf
+encoder for the MVT 2.1 spec, run per tile group via applyInPandas.
+
+Reference analog: API/Controllers/TileController.cs:78-141 (layer assembly,
+dominant type) and LanduseTileController.cs:85-126 — there via the
+NetTopologySuite MVT writer; here the wire format is hand-encoded (varint +
+zigzag + command integers) because no protobuf lib ships in the image.
+
+Scale: one output row per (z, x, y) tile; the groupBy key IS the tile id so
+encoding parallelizes across the cluster and each task touches one tile's
+features only.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+
+from .. import kernels
+
+EXTENT = 4096
+
+
+def _varint(v: int) -> bytes:
+    out = bytearray()
+    v &= (1 << 64) - 1
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag(v: int) -> int:
+    return (v << 1) ^ (v >> 63) if v < 0 else v << 1
+
+
+def _tag(field: int, wire: int) -> bytes:
+    return _varint((field << 3) | wire)
+
+
+def _len_field(field: int, payload: bytes) -> bytes:
+    return _tag(field, 2) + _varint(len(payload)) + payload
+
+
+def _mvt_value(s) -> bytes:
+    """Tile.Value message: string (1) / double (3) / int (4) / bool (7)."""
+    if isinstance(s, bool):
+        return _tag(7, 0) + _varint(1 if s else 0)
+    if isinstance(s, (int, np.integer)):
+        return _tag(4, 0) + _varint(int(s) & ((1 << 64) - 1))
+    if isinstance(s, (float, np.floating)):
+        return _tag(3, 1) + struct.pack("<d", float(s))
+    payload = str(s).encode("utf-8")
+    return _tag(1, 2) + _varint(len(payload)) + payload
+
+
+def _geometry_polygon(qx: np.ndarray, qy: np.ndarray) -> list[int]:
+    """Command-integer sequence for one closed ring: MoveTo(1) + LineTo(n-1)
+    + ClosePath, coordinates delta-encoded zigzag."""
+    cmds: list[int] = []
+    # drop closing dup (ClosePath implies it)
+    if len(qx) > 1 and qx[0] == qx[-1] and qy[0] == qy[-1]:
+        qx, qy = qx[:-1], qy[:-1]
+    if len(qx) < 3:
+        return []
+    cmds.append((1 << 3) | 1)  # MoveTo, count 1
+    px, py = 0, 0
+    cmds.append(_zigzag(int(qx[0]) - px))
+    cmds.append(_zigzag(int(qy[0]) - py))
+    px, py = int(qx[0]), int(qy[0])
+    n = len(qx) - 1
+    cmds.append((n << 3) | 2)  # LineTo, count n
+    for i in range(1, len(qx)):
+        cmds.append(_zigzag(int(qx[i]) - px))
+        cmds.append(_zigzag(int(qy[i]) - py))
+        px, py = int(qx[i]), int(qy[i])
+    cmds.append((1 << 3) | 7)  # ClosePath
+    return cmds
+
+
+def encode_tile(tile_x: int, tile_y: int, zoom: int,
+                features: list[dict], layer_name: str = "faces") -> bytes:
+    """features: [{'ring': 'lon lat;...', 'props': {k: v}}, ...] -> MVT
+    bytes with one layer.  Rings are projected into the tile's EXTENT grid
+    (same math as the reference's per-tile quantization, just 4096 instead
+    of 16384)."""
+    min_lon, min_lat, max_lon, max_lat = kernels.tile_box(
+        np.array([tile_x]), np.array([tile_y]), zoom)
+    min_lon, min_lat = float(min_lon[0]), float(min_lat[0])
+    max_lon, max_lat = float(max_lon[0]), float(max_lat[0])
+
+    keys: list[str] = []
+    values: list = []
+    kidx: dict[str, int] = {}
+    vidx: dict = {}
+
+    feats_payload = b""
+    for fid, feat in enumerate(features):
+        pts = np.array([p.split() for p in feat["ring"].split(";")],
+                       dtype=np.float64)
+        qx = ((pts[:, 0] - min_lon) / (max_lon - min_lon) * EXTENT).astype(np.int64)
+        qy = ((max_lat - pts[:, 1]) / (max_lat - min_lat) * EXTENT).astype(np.int64)
+        cmds = _geometry_polygon(qx, qy)
+        if not cmds:
+            continue
+        tags: list[int] = []
+        for k, v in feat.get("props", {}).items():
+            if k not in kidx:
+                kidx[k] = len(keys)
+                keys.append(k)
+            vkey = (type(v).__name__, v)
+            if vkey not in vidx:
+                vidx[vkey] = len(values)
+                values.append(v)
+            tags.extend([kidx[k], vidx[vkey]])
+        body = _tag(1, 0) + _varint(fid + 1)                       # id
+        if tags:
+            body += _len_field(2, b"".join(_varint(t) for t in tags))
+        body += _tag(3, 0) + _varint(3)                            # POLYGON
+        body += _len_field(4, b"".join(_varint(c) for c in cmds))  # geometry
+        feats_payload += _len_field(2, body)
+
+    layer = _tag(15, 0) + _varint(2)                               # version
+    layer += _len_field(1, layer_name.encode("utf-8"))
+    layer += feats_payload
+    for k in keys:
+        layer += _len_field(3, k.encode("utf-8"))
+    for v in values:
+        layer += _len_field(4, _mvt_value(v))
+    layer += _tag(5, 0) + _varint(EXTENT)
+    return _len_field(3, layer)  # Tile.layers
+
+
+MVT_SCHEMA = "tile_z int, tile_x long, tile_y long, mvt binary, n_features int"
+
+
+def mvt_kernel(zoom: int):
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(columns=["tile_z", "tile_x", "tile_y",
+                                         "mvt", "n_features"])
+        tx = int(pdf["tile_x"].iloc[0])
+        ty = int(pdf["tile_y"].iloc[0])
+        pdf = pdf.sort_values("face_guid")  # deterministic feature order
+        feats = [{"ring": r.ring,
+                  "props": {"face_guid": r.face_guid}}
+                 for r in pdf.itertuples(index=False)]
+        blob = encode_tile(tx, ty, zoom, feats)
+        return pd.DataFrame([{"tile_z": zoom, "tile_x": tx, "tile_y": ty,
+                              "mvt": blob, "n_features": len(feats)}])
+    return kernel
+
+
+def faces_to_mvt(faces, zoom: int = kernels.DEFAULT_ZOOM):
+    """faces(face_guid, ring, min_lon..max_lat) -> one MVT blob per covering
+    tile (S7 sink).  Tile cover from the face bbox, JVM-side."""
+    from pyspark.sql import functions as F
+
+    from ..functions import cells as C
+
+    tiled = faces.withColumn(
+        "tile_xy",
+        F.explode(F.flatten(F.transform(
+            F.sequence(C.tile_y(F.col("max_lat"), zoom),
+                       C.tile_y(F.col("min_lat"), zoom)),
+            lambda cy: F.transform(
+                F.sequence(C.tile_x(F.col("min_lon"), zoom),
+                           C.tile_x(F.col("max_lon"), zoom)),
+                lambda cx: F.struct(cx.alias("x"), cy.alias("y")))))),
+    ).select("face_guid", "ring",
+             F.col("tile_xy.x").alias("tile_x"),
+             F.col("tile_xy.y").alias("tile_y"))
+    return tiled.groupBy("tile_x", "tile_y").applyInPandas(
+        mvt_kernel(zoom), MVT_SCHEMA)

@@ -1,0 +1,61 @@
+"""Structured Streaming ingest of interleaved documents.
+
+The reference is purely batch + request-memoization (no streaming anywhere,
+SURVEY.md §2.8) — this module is the engine's forward-looking ingest path
+for continuous document arrival: stream documents -> extract geo spans ->
+cell-index -> windowed per-cell counts (the density-raster analog) with
+watermarked late-data handling.
+
+Smoke-tested with the file source + ``processAllAvailable`` (no Kafka in
+the sandbox); on a cluster the source swaps to kafka/iceberg-cdc with the
+same query body.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import cells as C
+
+DOC_STREAM_SCHEMA = (
+    "doc_id string, event_time timestamp, "
+    "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+)
+
+
+def stream_documents(spark: SparkSession, path: str) -> DataFrame:
+    return (spark.readStream.schema(DOC_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 4).parquet(path))
+
+
+def streaming_cell_counts(docs: DataFrame,
+                          window: str = "10 minutes",
+                          watermark: str = "30 minutes") -> DataFrame:
+    """Watermarked tumbling-window per-cell geo-span counts."""
+    pts = (
+        docs.withWatermark("event_time", watermark)
+        .select("doc_id", "event_time", F.explode("spans").alias("span"))
+        .filter(F.col("span.kind") == "geo")
+        .select(
+            "doc_id", "event_time",
+            F.split(F.col("span.text"), ",").getItem(0).cast("double").alias("lon"),
+            F.split(F.col("span.text"), ",").getItem(1).cast("double").alias("lat"))
+        .withColumn("cell_id", C.cell_id(F.col("lon"), F.col("lat")))
+    )
+    return (pts.groupBy(F.window("event_time", window), "cell_id")
+            .agg(F.count("*").alias("n_docs"))
+            .select(F.col("window.start").alias("window_start"),
+                    "cell_id", "n_docs"))
+
+
+def run_stream_to_memory(spark: SparkSession, path: str,
+                         query_name: str = "cell_counts"):
+    """Drive the streaming query synchronously over whatever files exist
+    (test/smoke harness)."""
+    agg = streaming_cell_counts(stream_documents(spark, path))
+    q = (agg.writeStream.outputMode("append")
+         .format("memory").queryName(query_name).start())
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
