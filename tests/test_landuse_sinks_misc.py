@@ -1,0 +1,200 @@
+"""Landuse area-overlap join (J2/A1/A2), classification dims (F1/F2),
+GeoJSON + MVT sinks, lineage resume, streaming ingest."""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from urbanistic_polygons_spark import kernels
+
+BASE_LON, BASE_LAT = 4.78, 51.26
+S = 0.01
+
+
+def _sq(x0, y0, w, h):
+    """Closed clockwise square ring string at offset (x0,y0) in degrees."""
+    lons = [BASE_LON + x0, BASE_LON + x0, BASE_LON + x0 + w,
+            BASE_LON + x0 + w, BASE_LON + x0]
+    lats = [BASE_LAT + y0, BASE_LAT + y0 + h, BASE_LAT + y0 + h,
+            BASE_LAT + y0, BASE_LAT + y0]
+    return ";".join(f"{lo:.9f} {la:.9f}" for lo, la in zip(lons, lats))
+
+
+def _faces_df(spark):
+    rows = [("face_a", _sq(0, 0, S, S), BASE_LON, BASE_LAT,
+             BASE_LON + S, BASE_LAT + S)]
+    return spark.createDataFrame(
+        rows, "face_guid string, ring string, min_lon double, "
+              "min_lat double, max_lon double, max_lat double")
+
+
+def _landuse_df(spark):
+    rows = [
+        # covers left half of face_a exactly
+        (1, "residential", _sq(0, 0, S / 2, S),
+         BASE_LON, BASE_LAT, BASE_LON + S / 2, BASE_LAT + S),
+        # covers the whole face (and more)
+        (2, "water", _sq(-S, -S, 3 * S, 3 * S),
+         BASE_LON - S, BASE_LAT - S, BASE_LON + 2 * S, BASE_LAT + 2 * S),
+        # disjoint
+        (3, "school", _sq(5 * S, 5 * S, S, S),
+         BASE_LON + 5 * S, BASE_LAT + 5 * S, BASE_LON + 6 * S, BASE_LAT + 6 * S),
+    ]
+    return spark.createDataFrame(
+        rows, "lu_id long, cls string, ring string, min_lon double, "
+              "min_lat double, max_lon double, max_lat double")
+
+
+def test_landuse_overlap_join(spark):
+    from urbanistic_polygons_spark.operators.landuse_join import (
+        assign_landuse, dominant_type, landuse_map,
+    )
+    fl = assign_landuse(_faces_df(spark), _landuse_df(spark))
+    pdf = fl.toPandas().set_index("cls")["pct"]
+    assert pdf["water"] == pytest.approx(1.0)          # full cover fast path
+    assert pdf["residential"] == pytest.approx(0.5, rel=1e-6)  # half overlap
+    assert "school" not in pdf.index                   # disjoint filtered
+    dom = dominant_type(fl).toPandas()
+    assert dom.dominant_cls.iloc[0] == "water"
+    m = landuse_map(fl).toPandas().landuse.iloc[0]
+    assert set(m.keys()) == {"water", "residential"}
+
+
+def test_classify_dims(spark):
+    from urbanistic_polygons_spark.operators.classify import (
+        classify_barrier_ways, classify_landuse_ways,
+    )
+    ways = spark.createDataFrame(
+        [
+            (1, [1, 2], {"highway": "residential"}),
+            (2, [1, 2], {"railway": "rail"}),          # wildcard match
+            (3, [1, 2, 3, 1], {"landuse": "forest"}),  # closed ring
+            (4, [1, 2, 3], {"landuse": "forest"}),     # open -> dropped
+            (5, [1, 2], {"building": "yes"}),          # unclassified
+        ],
+        "way_id long, nodes array<long>, tags map<string,string>")
+    b = classify_barrier_ways(spark, ways).toPandas()
+    assert set(b.way_id) == {1, 2}
+    assert b.set_index("way_id").resistance.to_dict() == {1: 2, 2: 30}
+    l = classify_landuse_ways(spark, ways).toPandas()
+    assert set(l.way_id) == {3}
+    assert l.cls.iloc[0] == "natural"
+
+
+def test_geojson_sink(spark):
+    from urbanistic_polygons_spark.sources.geojson import (
+        faces_to_geojson_features, to_feature_collection,
+    )
+    feats = faces_to_geojson_features(_faces_df(spark))
+    gj = json.loads(feats.toPandas().geojson.iloc[0])
+    assert gj["type"] == "Feature"
+    assert gj["geometry"]["type"] == "Polygon"
+    assert len(gj["geometry"]["coordinates"][0]) == 5
+    fc = json.loads(
+        to_feature_collection(feats).toPandas().feature_collection.iloc[0])
+    assert fc["type"] == "FeatureCollection" and len(fc["features"]) == 1
+
+
+def _pb_fields(buf: bytes):
+    """Minimal protobuf walker: yields (field, wire, value_or_bytes)."""
+    i = 0
+    while i < len(buf):
+        v = 0
+        shift = 0
+        while True:
+            b = buf[i]
+            i += 1
+            v |= (b & 0x7F) << shift
+            shift += 7
+            if not b & 0x80:
+                break
+        field, wire = v >> 3, v & 7
+        if wire == 0:
+            val = 0
+            shift = 0
+            while True:
+                b = buf[i]
+                i += 1
+                val |= (b & 0x7F) << shift
+                shift += 7
+                if not b & 0x80:
+                    break
+            yield field, wire, val
+        elif wire == 2:
+            ln = 0
+            shift = 0
+            while True:
+                b = buf[i]
+                i += 1
+                ln |= (b & 0x7F) << shift
+                shift += 7
+                if not b & 0x80:
+                    break
+            yield field, wire, buf[i:i + ln]
+            i += ln
+        elif wire == 1:
+            yield field, wire, buf[i:i + 8]
+            i += 8
+
+
+def test_mvt_sink(spark):
+    from urbanistic_polygons_spark.sources.mvt import faces_to_mvt
+    out = faces_to_mvt(_faces_df(spark)).toPandas()
+    assert len(out) >= 1
+    blob = bytes(out.mvt.iloc[0])
+    layers = [v for f, w, v in _pb_fields(blob) if f == 3]
+    assert len(layers) == 1
+    fields = list(_pb_fields(layers[0]))
+    version = [v for f, w, v in fields if f == 15]
+    name = [v for f, w, v in fields if f == 1]
+    extent = [v for f, w, v in fields if f == 5]
+    features = [v for f, w, v in fields if f == 2]
+    assert version == [2] and name[0] == b"faces" and extent == [4096]
+    assert len(features) == int(out.n_features.iloc[0]) >= 1
+    ftypes = [v for f, w, v in _pb_fields(features[0]) if f == 3]
+    assert ftypes == [3]  # POLYGON
+
+
+def test_lineage_resume(spark, tmp_path):
+    from urbanistic_polygons_spark.plans.lineage import LineageStore
+    store = LineageStore(str(tmp_path / "ckpt"))
+    df = spark.range(100).withColumn("part", F.col("id") % 4)
+
+    # simulate a killed run: only partitions 0/1 committed
+    partial = df.filter(F.col("part") < 2)
+    r1 = store.checkpoint(partial, "stage1", "part")
+    assert r1.count() == 50
+    assert store.committed_partitions("stage1") == [0, 1]
+
+    # resume with the full input: only missing partitions are written
+    r2 = store.checkpoint(df, "stage1", "part")
+    assert r2.count() == 100
+    assert store.committed_partitions("stage1") == [0, 1, 2, 3]
+    assert store.counters("stage1")["n_rows"] == 100
+
+    # idempotent re-run: nothing duplicated
+    r3 = store.checkpoint(df, "stage1", "part")
+    assert r3.count() == 100
+
+
+def test_streaming_cell_counts(spark, tmp_path):
+    from urbanistic_polygons_spark.streaming.ingest import (
+        DOC_STREAM_SCHEMA, run_stream_to_memory, streaming_cell_counts,
+    )
+    from datetime import datetime, timedelta
+    rows = []
+    for i in range(40):
+        rows.append((
+            f"doc_{i}", datetime(2024, 1, 1) + timedelta(minutes=i),
+            [{"kind": "geo", "text": f"{BASE_LON + (i % 4) * 0.05:.6f},{BASE_LAT:.6f}",
+              "media_ref": "", "offset": 0},
+             {"kind": "text", "text": "hello", "media_ref": "", "offset": 1}],
+        ))
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, DOC_STREAM_SCHEMA).write.parquet(src)
+    out = run_stream_to_memory(spark, src).toPandas()
+    assert out.n_docs.sum() == 40
+    assert out.cell_id.nunique() >= 2

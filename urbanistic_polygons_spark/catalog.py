@@ -387,6 +387,85 @@ def q_spans_spark(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Face extraction / landuse / tile pipeline (non-SQL-expressible: the
+# sequential half-edge walk runs per-cell in applyInPandas -> rows-only
+# driver check; exactness is covered by the pytest oracle suite)
+# ---------------------------------------------------------------------------
+
+def _grid_graph(spark):
+    from . import datagen
+    nodes_pdf, ways_pdf = datagen.gen_ways_grid(k=6, seed=44)
+    nodes = spark.createDataFrame(
+        nodes_pdf, schema="node_id long, lon double, lat double")
+    ways = spark.createDataFrame(
+        ways_pdf, schema="way_id long, nodes array<long>, tags map<string,string>")
+    return nodes, ways
+
+
+def q_faces_grid_spark(spark, sf_dir):
+    """P1-P7: planar-graph face extraction over the deterministic street
+    lattice (the reference's signature computation)."""
+    from .operators.graph_build import build_faces_from_ways
+    nodes, ways = _grid_graph(spark)
+    return build_faces_from_ways(nodes, ways).select(
+        "face_guid", "n_edges", "min_lon", "min_lat", "max_lon", "max_lat")
+
+
+def _grid_landuse(spark):
+    """Closed classified ways -> landuse polygon layer (S8)."""
+    from .operators.classify import classify_landuse_ways
+    from .operators.graph_build import resolve_way_nodes
+    nodes, ways = _grid_graph(spark)
+    lu = classify_landuse_ways(spark, ways)
+    pts = resolve_way_nodes(nodes, lu.select("way_id", "nodes"))
+    rings = (
+        pts.groupBy("way_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "lon", "lat"))).alias("p"))
+        .select(
+            F.col("way_id").alias("lu_id"),
+            F.concat_ws(";", F.transform(
+                "p", lambda q: F.format_string("%.9f %.9f", q["lon"], q["lat"]))).alias("ring"),
+            F.array_min(F.transform("p", lambda q: q["lon"])).alias("min_lon"),
+            F.array_min(F.transform("p", lambda q: q["lat"])).alias("min_lat"),
+            F.array_max(F.transform("p", lambda q: q["lon"])).alias("max_lon"),
+            F.array_max(F.transform("p", lambda q: q["lat"])).alias("max_lat"),
+        )
+        .join(lu.select(F.col("way_id").alias("lu_id"), "cls"), "lu_id")
+    )
+    return rings
+
+
+def q_faces_landuse_spark(spark, sf_dir):
+    """J2 + A1 + A2 end-to-end: faces x landuse area-overlap join, per-face
+    percentages, dominant type."""
+    from .operators.graph_build import build_faces_from_ways
+    from .operators.landuse_join import assign_landuse, dominant_type
+    nodes, ways = _grid_graph(spark)
+    faces = build_faces_from_ways(nodes, ways)
+    fl = assign_landuse(faces, _grid_landuse(spark))
+    return dominant_type(fl).withColumn(
+        "dominant_pct", F.round("dominant_pct", 6))
+
+
+def q_mvt_tiles_spark(spark, sf_dir):
+    """S7 MVT sink: faces -> one vector-tile blob per covering z14 tile."""
+    from .operators.graph_build import build_faces_from_ways
+    from .sources.mvt import faces_to_mvt
+    nodes, ways = _grid_graph(spark)
+    tiles = faces_to_mvt(build_faces_from_ways(nodes, ways))
+    return tiles.select("tile_z", "tile_x", "tile_y", "n_features",
+                        F.length("mvt").alias("mvt_bytes"))
+
+
+def q_geojson_spark(spark, sf_dir):
+    """S6 GeoJSON sink over the grid faces."""
+    from .operators.graph_build import build_faces_from_ways
+    from .sources.geojson import faces_to_geojson_features
+    nodes, ways = _grid_graph(spark)
+    return faces_to_geojson_features(build_faces_from_ways(nodes, ways))
+
+
+# ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB dialect) for the module-backed queries
 # ---------------------------------------------------------------------------
 
@@ -790,5 +869,13 @@ FROM orders GROUP BY o_custkey, o_orderstatus""")
 
     # -- interleaved spans synthesis (input_hint shape) ----------------------
     df_q("spans_explode", q_spans_spark, _SPANS_SQL)
+
+    # -- face / landuse / tile pipeline (rows-only: sequential half-edge
+    #    walk inside applyInPandas is not SQL-expressible; exactness covered
+    #    by the pytest oracle suite)
+    df_q("faces_grid", q_faces_grid_spark, None)
+    df_q("faces_landuse", q_faces_landuse_spark, None)
+    df_q("mvt_tiles", q_mvt_tiles_spark, None)
+    df_q("geojson_features", q_geojson_spark, None)
 
     return cat

@@ -1,0 +1,124 @@
+"""J2: the face x landuse area-overlap spatial join + A1 aggregation + A2
+dominant type — the reference's flagship join
+(Landuse/TiledBarrierGraphExtensions.cs:15-101).
+
+Spark plan shape:
+1. both sides tagged with covering cell_ids (explode) — the coarse filter;
+2. equi-join on cell_id with the landuse side BROADCAST (it is the tiled
+   polygon index, the small side per north_rule), pair-dedup'd;
+3. bbox prefilter JVM-side (the reference's EnvelopeInternal.Intersects);
+4. exact overlap ratio in one Arrow-batched pandas UDF using the pure-NumPy
+   convex clipper (covers fast paths replicated: full-cover -> 1.0,
+   contained -> area ratio — reference :47-56);
+5. groupBy(face).sum per landuse type (A1, map-side partial agg) and a
+   window argmax for the dominant type (A2, TileController.cs:91-117).
+
+Invalid-geometry tolerance: the clip kernel never throws; degenerate
+results contribute 0 like the reference's catch block (:74-83).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import kernels
+from ..functions import cells as C
+
+
+def _parse_ring(s: str) -> np.ndarray:
+    pts = np.array([p.split() for p in s.split(";")], dtype=np.float64)
+    if len(pts) > 1 and (pts[0] == pts[-1]).all():
+        pts = pts[:-1]
+    return pts
+
+
+@F.pandas_udf(T.DoubleType())
+def overlap_ratio_udf(face_ring: pd.Series, lu_ring: pd.Series) -> pd.Series:
+    """intersection_area(face, landuse) / face_area per candidate pair,
+    vectorized per Arrow batch with per-ring parse caching."""
+    cache: dict[str, np.ndarray] = {}
+
+    def ring(s: str) -> np.ndarray:
+        if s not in cache:
+            cache[s] = _parse_ring(s)
+        return cache[s]
+
+    out = np.zeros(len(face_ring))
+    for i, (fs, ls) in enumerate(zip(face_ring, lu_ring)):
+        f = ring(fs)
+        l = ring(ls)
+        fa = kernels.polygon_area(f[:, 0], f[:, 1])
+        if fa <= 0:
+            continue
+        # covers fast paths (reference :47-56): all face vertices inside
+        # landuse -> full cover (convex landuse); all landuse vertices
+        # inside face + face convex-ish -> area ratio
+        if kernels.points_in_polygon(f[:, 0], f[:, 1], l[:, 0], l[:, 1]).all():
+            out[i] = 1.0
+            continue
+        ix, iy = kernels.clip_polygon_convex(f[:, 0], f[:, 1], l[:, 0], l[:, 1])
+        out[i] = kernels.polygon_area(ix, iy) / fa
+    return pd.Series(out)
+
+
+def _with_cells(df: DataFrame) -> DataFrame:
+    """Explode bbox cover into cell_id rows (JVM-side sequence/transform)."""
+    return df.withColumn(
+        "cell_id",
+        F.explode(F.flatten(F.transform(
+            F.sequence(C.tile_y(F.col("max_lat")), C.tile_y(F.col("min_lat"))),
+            lambda cy: F.transform(
+                F.sequence(C.tile_x(F.col("min_lon")), C.tile_x(F.col("max_lon"))),
+                lambda cx: cy * F.lit(1 << 14) + cx)))))
+
+
+def assign_landuse(faces: DataFrame, landuse: DataFrame) -> DataFrame:
+    """faces(face_guid, ring, min_lon..max_lat) x landuse(lu_id, cls, ring,
+    min_lon..max_lat) -> (face_guid, cls, pct) rows; pct = summed overlap
+    ratio per type (reference types[type] += percentage, :85-91)."""
+    f = _with_cells(faces).select(
+        "cell_id", "face_guid", F.col("ring").alias("f_ring"),
+        F.col("min_lon").alias("f_minx"), F.col("min_lat").alias("f_miny"),
+        F.col("max_lon").alias("f_maxx"), F.col("max_lat").alias("f_maxy"))
+    l = _with_cells(landuse).select(
+        "cell_id", "lu_id", "cls", F.col("ring").alias("l_ring"),
+        F.col("min_lon").alias("l_minx"), F.col("min_lat").alias("l_miny"),
+        F.col("max_lon").alias("l_maxx"), F.col("max_lat").alias("l_maxy"))
+    pairs = (
+        f.join(F.broadcast(l), "cell_id")
+        # pair-dedup: a pair meets once per shared cell; keep one
+        .dropDuplicates(["face_guid", "lu_id"])
+        # bbox prefilter, JVM-side (reference envelope pre-test :45)
+        .filter((F.col("f_minx") <= F.col("l_maxx"))
+                & (F.col("f_maxx") >= F.col("l_minx"))
+                & (F.col("f_miny") <= F.col("l_maxy"))
+                & (F.col("f_maxy") >= F.col("l_miny")))
+    )
+    scored = pairs.withColumn(
+        "pct", overlap_ratio_udf(F.col("f_ring"), F.col("l_ring")))
+    return (scored.filter(F.col("pct") > 0)
+            .groupBy("face_guid", "cls")
+            .agg(F.sum("pct").alias("pct")))
+
+
+def landuse_map(face_landuse: DataFrame) -> DataFrame:
+    """(face_guid, landuse map<string,double>) — the face attribute column
+    (reference LanduseAttributes)."""
+    return (face_landuse.groupBy("face_guid")
+            .agg(F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("cls", "pct"))))
+                .alias("landuse")))
+
+
+def dominant_type(face_landuse: DataFrame) -> DataFrame:
+    """A2: max-pct type per face (reference TileController.cs:91-117),
+    deterministic tie-break on class name."""
+    w = Window.partitionBy("face_guid").orderBy(F.desc("pct"), F.asc("cls"))
+    return (face_landuse.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("face_guid", F.col("cls").alias("dominant_cls"),
+                    F.col("pct").alias("dominant_pct")))

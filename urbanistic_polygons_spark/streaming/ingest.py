@@ -54,7 +54,9 @@ def run_stream_to_memory(spark: SparkSession, path: str,
     """Drive the streaming query synchronously over whatever files exist
     (test/smoke harness)."""
     agg = streaming_cell_counts(stream_documents(spark, path))
-    q = (agg.writeStream.outputMode("append")
+    # complete mode so open (not-yet-watermark-closed) windows are visible
+    # in the smoke check; production sinks use append + real event flow
+    q = (agg.writeStream.outputMode("complete")
          .format("memory").queryName(query_name).start())
     q.processAllAvailable()
     q.stop()
