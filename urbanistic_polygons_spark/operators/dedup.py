@@ -58,10 +58,18 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
-def shingles(text_col, n: int = 3):
-    """Token n-gram shingles as an array column (higher-order functions,
-    JVM-side)."""
-    toks = X.tokens(text_col)
+def shingles_of_tokens(toks, n: int = 3):
+    """Token n-gram shingles from an ALREADY-MATERIALIZED token-array
+    column.
+
+    Performance-critical: higher-order-function lambdas are interpreted
+    (no whole-stage codegen), so any non-trivial expression referenced
+    inside the lambda body is re-evaluated per element.  Passing the raw
+    ``split()`` expression here makes shingling O(tokens^2) per row
+    (measured 57s -> 1s at sf0.1 after materializing the tokens in a prior
+    projection, which Catalyst's CollapseProject keeps separate because the
+    attribute is referenced more than once and is non-cheap).
+    """
     idx = F.sequence(F.lit(0), F.size(toks) - F.lit(n))
     return F.when(
         F.size(toks) >= n,
@@ -71,14 +79,30 @@ def shingles(text_col, n: int = 3):
     ).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
+def shingles(text_col, n: int = 3):
+    """Kept for API compatibility — prefer tokenizing in a separate
+    projection and calling :func:`shingles_of_tokens` (see its perf note)."""
+    return shingles_of_tokens(X.tokens(text_col), n)
+
+
+def _exploded_shingles(docs: DataFrame, id_col: str, text_col: str,
+                       extra_cols: list[str] | None = None) -> DataFrame:
+    """(id, [extras...], sh) — one row per distinct shingle, with the token
+    array materialized in its own projection (see shingles_of_tokens)."""
+    extra = extra_cols or []
+    tok = docs.select(F.col(id_col), *[F.col(c) for c in extra],
+                      X.tokens(F.col(text_col)).alias("toks"))
+    return tok.select(id_col, *extra,
+                      F.explode(shingles_of_tokens(F.col("toks"))).alias("sh"))
+
+
 def minhash_signature(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", k: int = 16) -> DataFrame:
     """(doc_id, sig array<long>[k]) — min over shingles of each permuted
     31-bit hash.  Exploded + groupBy(min) keeps partial aggregation
     map-side (Catalyst does the combine)."""
     params = minhash_params(k)
-    sh = docs.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col))).alias("sh"))
+    sh = _exploded_shingles(docs, id_col, text_col)
     h = sh.select(id_col, X.hash31(F.col("sh")).alias("h"))
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh_{j}")
@@ -106,14 +130,23 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     buckets = sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    left = buckets.alias("l")
-    right = buckets.alias("r")
-    return (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .select(F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b"))
-        .distinct()
-    )
+    # One aggregation per (band, bucket) + in-bucket pair generation from the
+    # sorted member array — computes the signature pipeline ONCE (a bucketed
+    # self-join would recompute the whole minhash subtree on both sides) and
+    # enumerates only genuine co-bucket pairs.  Bucket sizes are bounded by
+    # the band signature, so the nested transform stays tiny; `ids` is a
+    # materialized attribute, so the lambda lookups are O(1) (see
+    # shingles_of_tokens perf note).
+    grouped = (buckets.groupBy("band", "bucket")
+               .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+               .filter(F.size("ids") > 1))
+    pairs = grouped.select(F.explode(F.flatten(F.transform(
+        F.col("ids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ids"), i + F.lit(2),
+                    F.greatest(F.size(F.col("ids")) - i - F.lit(1), F.lit(0))),
+            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")))))).alias("p"))
+    return pairs.select(F.col("p.doc_a"), F.col("p.doc_b")).distinct()
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id",
@@ -147,26 +180,48 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
 
     Output: (doc_a, doc_b, inter, n_a, n_b) — all integers, oracle-exact.
     """
-    base = docs.select(
+    tok = docs.select(
         F.col(id_col),
         F.col(lang_col).alias("blk_lang"),
         F.floor(F.length(text_col) / F.lit(64)).alias("blk_len"),
-        shingles(F.col(text_col)).alias("sh"),
-    ).withColumn("n_sh", F.size("sh"))
-    ex = base.select(id_col, "blk_lang", "blk_len", "n_sh",
-                     F.explode("sh").alias("s"))
-    l, r = ex.alias("l"), ex.alias("r")
-    inter = (
-        l.join(r, ["blk_lang", "blk_len", "s"])
-        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .groupBy(F.col(f"l.{id_col}").alias("doc_a"),
-                 F.col(f"r.{id_col}").alias("doc_b"),
-                 F.col("l.n_sh").alias("n_a"),
-                 F.col("r.n_sh").alias("n_b"))
-        .agg(F.count("*").alias("inter"))
+        X.tokens(F.col(text_col)).alias("toks"),
     )
+    base = tok.select(
+        id_col, "blk_lang", "blk_len",
+        shingles_of_tokens(F.col("toks")).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+    # explode_outer, NOT explode: InferFiltersFromGenerate would add a
+    # size(sh)>0 filter that pushdown inlines below the token projection,
+    # re-expanding the whole shingle expression into an interpreted per-row
+    # predicate (O(tokens^2) — measured 38s vs 1s at sf0.1).  Shingle arrays
+    # are never null/empty here, so outer semantics are identical.
+    ex = base.select(id_col, "blk_lang", "blk_len",
+                     F.explode_outer("sh").alias("s"))
+    # group-collect-pairs instead of a shingle-level self-join: one pass over
+    # the shingle pipeline (the join would recompute it per side), one narrow
+    # shuffle on the shingle key, then in-group pair generation from the
+    # sorted member array (same trick as minhash_lsh_pairs).
+    grouped = (ex.groupBy("blk_lang", "blk_len", "s")
+               .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+               .filter(F.size("ids") > 1))
+    pairs = grouped.select(F.explode(F.flatten(F.transform(
+        F.col("ids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ids"), i + F.lit(2),
+                    F.greatest(F.size(F.col("ids")) - i - F.lit(1), F.lit(0))),
+            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")))))).alias("p"))
+    inter = (pairs.select("p.doc_a", "p.doc_b")
+             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter")))
+    # shingle-set sizes per doc: tiny (one row per doc) -> broadcast joins
+    counts = base.select(F.col(id_col), F.col("n_sh"))
     t = threshold_permille
-    return inter.filter(
-        F.lit(1000) * F.col("inter")
-        >= F.lit(t) * (F.col("n_a") + F.col("n_b") - F.col("inter"))
-    ).select("doc_a", "doc_b", "inter", "n_a", "n_b")
+    return (
+        inter
+        .join(F.broadcast(counts.select(F.col(id_col).alias("doc_a"),
+                                        F.col("n_sh").alias("n_a"))), "doc_a")
+        .join(F.broadcast(counts.select(F.col(id_col).alias("doc_b"),
+                                        F.col("n_sh").alias("n_b"))), "doc_b")
+        .filter(F.lit(1000) * F.col("inter")
+                >= F.lit(t) * (F.col("n_a") + F.col("n_b") - F.col("inter")))
+        .select("doc_a", "doc_b", "inter", "n_a", "n_b")
+    )
