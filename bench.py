@@ -23,11 +23,14 @@ HEADLINE = [
     # geospatial core (micro space, 150k points at sf0.1)
     "cell_index", "pip_assign", "knn_snap", "density_raster",
     "raster_vectorize", "tile_assign", "cell_halo",
-    # relational
+    # relational (incl. broadcast-dim joins and as-of)
     "q1_pricing", "topk_per_group", "sessionize",
+    "q3_shipping", "q5_region", "asof_join",
     # training-data ops
     "simhash", "minhash_lsh_pairs", "ngram_jaccard",
-    "embedding_topk", "fingerprint",
+    "embedding_topk", "fingerprint", "exact_dedup_docs",
+    # multimodal binary columns
+    "media_meta", "media_features",
     # interleaved spans synthesis
     "spans_explode",
 ]

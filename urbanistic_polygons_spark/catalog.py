@@ -387,6 +387,266 @@ def q_spans_spark(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Relational join coverage: the engine's join strategies made explicit —
+# dimensions broadcast, facts shuffle-joined on their keys (AQE handles
+# skew).  Money stays integer cents end-to-end for oracle exactness.
+# ---------------------------------------------------------------------------
+
+def q3_shipping_spark(spark, sf_dir):
+    """customer (filtered dim, broadcast) x orders x lineitem."""
+    register_views(spark, sf_dir)
+    c = spark.table("customer").filter(
+        F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = spark.table("orders").filter(
+        F.col("o_orderdate") < "1995-03-15").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    line = spark.table("lineitem").filter(
+        F.col("l_shipdate") > "1995-03-15").select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
+        .cast("long").alias("cents"))
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(line, o.o_orderkey == line.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum("cents").alias("revenue_cents"),
+             F.count("*").alias("n_lines"))
+        .select(F.col("o_orderkey").alias("l_orderkey"),
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+                "o_orderpriority", "revenue_cents", "n_lines")
+    )
+
+
+_Q3_SQL = """
+SELECT o_orderkey AS l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
+       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+         AS revenue_cents,
+       COUNT(*) AS n_lines
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY 1, 2, 3
+"""
+
+
+def q5_region_spark(spark, sf_dir):
+    """Six-way join: dims (region->nation->supplier) broadcast into the
+    orders x lineitem fact join; revenue per nation."""
+    register_views(spark, sf_dir)
+    r = spark.table("region").filter(F.col("r_name") == "ASIA")
+    n = spark.table("nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    s = spark.table("supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    c = spark.table("customer")
+    o = spark.table("orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01"))
+    line = spark.table("lineitem").select(
+        "l_orderkey", "l_suppkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
+        .cast("long").alias("cents"))
+    return (
+        line.join(F.broadcast(s.select("s_suppkey", "s_nationkey", "n_name")),
+                  line.l_suppkey == F.col("s_suppkey"))
+        .join(o, line.l_orderkey == o.o_orderkey)
+        .join(c.select("c_custkey"), o.o_custkey == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(F.sum("cents").alias("revenue_cents"),
+             F.count("*").alias("n_lines"))
+    )
+
+
+_Q5_SQL = """
+SELECT n_name,
+       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+         AS revenue_cents,
+       COUNT(*) AS n_lines
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def q_asof_join_spark(spark, sf_dir):
+    """As-of join (engine extra — the reference has none, SURVEY.md §2.3):
+    for each 'click' event, the most recent prior 'view' event of the same
+    user.  Expressed as union + window last_value (single shuffle on
+    user_id) instead of a range self-join."""
+    register_views(spark, sf_dir)
+    e = spark.table("events")
+    tagged = e.select(
+        "user_id", "event_id", "ts", "event_type",
+        F.when(F.col("event_type") == "view", F.col("event_id")).alias("view_id"),
+        F.when(F.col("event_type") == "view", F.col("ts")).alias("view_ts"))
+    w = (Window.partitionBy("user_id")
+         .orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (tagged
+            .withColumn("prior_view_id", F.last("view_id", True).over(w))
+            .withColumn("prior_view_ts", F.last("view_ts", True).over(w))
+            .filter(F.col("event_type") == "click")
+            .select("user_id", "event_id",
+                    F.col("prior_view_id").cast("long").alias("prior_view_id"),
+                    (F.unix_micros(F.col("ts").cast("timestamp"))
+                     - F.unix_micros(F.col("prior_view_ts").cast("timestamp")))
+                    .alias("lag_us")))
+
+
+_ASOF_SQL = """
+WITH tagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN event_type = 'view' THEN event_id END AS view_id,
+         CASE WHEN event_type = 'view' THEN ts END AS view_ts
+  FROM events
+), w AS (
+  SELECT *,
+    LAST_VALUE(view_id IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY ts, event_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_view_id,
+    LAST_VALUE(view_ts IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY ts, event_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_view_ts
+  FROM tagged
+)
+SELECT user_id, event_id, prior_view_id,
+       epoch_us(ts) - epoch_us(prior_view_ts) AS lag_us
+FROM w WHERE event_type = 'click'
+"""
+
+
+def q_exact_dedup_docs_spark(spark, sf_dir):
+    from .operators.dedup import exact_dedup
+    register_views(spark, sf_dir)
+    return exact_dedup(_aug_docs(spark).unionByName(spark.table("documents")
+                                                    .select("doc_id", "text", "lang", "source", "n_chars")))
+
+
+_EXACT_DEDUP_SQL = """
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         substr(text, 1, CAST((9 * length(text)) // 10 AS INT))
+  FROM documents
+  UNION ALL
+  SELECT doc_id, text FROM documents
+), fp AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM aug
+)
+SELECT fp, MIN(doc_id) AS keeper, COUNT(*) AS n_dups
+FROM fp GROUP BY fp HAVING COUNT(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal (binary media) operators — see operators/multimodal.py.  The
+# Spark side parses real BYTES in Arrow kernels; the oracle parses the
+# equivalent md5-hex closed form.
+# ---------------------------------------------------------------------------
+
+def _media_df(spark, sf_dir):
+    from .operators.multimodal import media_table
+    return media_table(q_spans_spark(spark, sf_dir))
+
+
+def q_media_meta_spark(spark, sf_dir):
+    from .operators.multimodal import decode_media_meta
+    return decode_media_meta(_media_df(spark, sf_dir))
+
+
+def q_media_resize_spark(spark, sf_dir):
+    from .operators.multimodal import decode_media_meta, resize_plan
+    return resize_plan(decode_media_meta(_media_df(spark, sf_dir)))
+
+
+def q_media_frames_spark(spark, sf_dir):
+    from .operators.multimodal import frame_sample
+    return frame_sample(_media_df(spark, sf_dir), stride=2)
+
+
+def q_media_features_spark(spark, sf_dir):
+    from .operators.multimodal import media_features
+    return media_features(_media_df(spark, sf_dir))
+
+
+# DuckDB closed form of the synthetic payload: hp = 128 hex chars;
+# u16 at byte offset b == CAST('0x' || substr(hp, 2*b+1, 4) AS BIGINT)
+_MEDIA_CTE = """toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+                             x -> length(x) > 0) AS t
+  FROM documents
+), chunks AS (
+  SELECT doc_id,
+         unnest(range(0, GREATEST((CAST(len(t) AS BIGINT) - 1) // 8, 0) + 1)) AS i
+  FROM toks
+), refs AS (
+  SELECT DISTINCT 'blob://img/' || CAST(doc_id AS VARCHAR) || '_'
+         || CAST(i AS VARCHAR) AS media_ref
+  FROM chunks WHERE i % 3 = 2
+), media AS (
+  SELECT media_ref,
+         md5(media_ref) || md5(media_ref || '1') || md5(media_ref || '2')
+           || md5(media_ref || '3') AS hp,
+         CASE (CAST('0x' || substr(md5(media_ref), 1, 2) AS BIGINT) % 3) + 1
+           WHEN 1 THEN 'image' WHEN 2 THEN 'audio' ELSE 'video' END AS kind
+  FROM refs
+), meta AS (
+  SELECT media_ref, kind, 64 AS n_bytes,
+    CASE WHEN kind IN ('image','video')
+         THEN CAST('0x' || substr(hp, 1, 4) AS BIGINT) % 1024 + 16
+         ELSE 0 END AS width,
+    CASE WHEN kind IN ('image','video')
+         THEN CAST('0x' || substr(hp, 5, 4) AS BIGINT) % 1024 + 16
+         ELSE 0 END AS height,
+    CASE WHEN kind = 'video'
+         THEN CAST('0x' || substr(hp, 9, 2) AS BIGINT) % 4 + 1
+         ELSE 0 END AS n_frames,
+    CASE WHEN kind = 'audio'
+         THEN CAST('0x' || substr(hp, 11, 4) AS BIGINT) % 32000 + 8000
+         ELSE 0 END AS sample_rate
+  FROM media
+)"""
+
+_MEDIA_META_SQL = f"""
+WITH {_MEDIA_CTE}
+SELECT media_ref, kind, n_bytes, width, height, n_frames, sample_rate
+FROM meta
+"""
+
+_MEDIA_RESIZE_SQL = f"""
+WITH {_MEDIA_CTE}
+SELECT media_ref, kind, width, height, 224 AS out_w, 224 AS out_h,
+       CAST(224000 // width AS BIGINT) AS scale_x_permille,
+       CAST(224000 // height AS BIGINT) AS scale_y_permille
+FROM meta WHERE width > 0
+"""
+
+_MEDIA_FRAMES_SQL = f"""
+WITH {_MEDIA_CTE}
+SELECT media_ref, j AS frame_idx, substr(hp, 32 * j + 1, 32) AS frame_hex
+FROM media CROSS JOIN (SELECT unnest([0, 2]) AS j)
+WHERE kind = 'video'
+"""
+
+_MEDIA_FEATURES_SQL = f"""
+WITH {_MEDIA_CTE}
+SELECT media_ref, j,
+       CAST('0x' || substr(hp, 4 * j + 1, 4) AS BIGINT) AS feat
+FROM media CROSS JOIN (SELECT unnest(range(0, 8)) AS j)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Face extraction / landuse / tile pipeline (non-SQL-expressible: the
 # sequential half-edge walk runs per-cell in applyInPandas -> rows-only
 # driver check; exactness is covered by the pytest oracle suite)
@@ -854,7 +1114,13 @@ FROM s GROUP BY user_id""")
 SELECT o_custkey, o_orderstatus, MIN(o_orderkey) AS keeper, COUNT(*) AS n
 FROM orders GROUP BY o_custkey, o_orderstatus""")
 
+    # -- relational joins (broadcast dims + shuffled facts) ------------------
+    df_q("q3_shipping", q3_shipping_spark, _Q3_SQL)
+    df_q("q5_region", q5_region_spark, _Q5_SQL)
+    df_q("asof_join", q_asof_join_spark, _ASOF_SQL)
+
     # -- text / dedup / similarity ------------------------------------------
+    df_q("exact_dedup_docs", q_exact_dedup_docs_spark, _EXACT_DEDUP_SQL)
     df_q("text_stats", q_text_stats_spark, _TEXT_STATS_SQL)
     df_q("lang_id", q_lang_id_spark, _lang_id_sql())
     df_q("quality_score", q_quality_spark, _QUALITY_SQL)
@@ -869,6 +1135,12 @@ FROM orders GROUP BY o_custkey, o_orderstatus""")
 
     # -- interleaved spans synthesis (input_hint shape) ----------------------
     df_q("spans_explode", q_spans_spark, _SPANS_SQL)
+
+    # -- multimodal binary columns (Arrow byte-parsing kernels) --------------
+    df_q("media_meta", q_media_meta_spark, _MEDIA_META_SQL)
+    df_q("media_resize", q_media_resize_spark, _MEDIA_RESIZE_SQL)
+    df_q("media_frames", q_media_frames_spark, _MEDIA_FRAMES_SQL)
+    df_q("media_features", q_media_features_spark, _MEDIA_FEATURES_SQL)
 
     # -- face / landuse / tile pipeline (rows-only: sequential half-edge
     #    walk inside applyInPandas is not SQL-expressible; exactness covered
