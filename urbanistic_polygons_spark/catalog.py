@@ -209,17 +209,27 @@ def q_knn_snap_spark(spark, sf_dir):
         "cx": F.expr("(x0 + x1) DIV 2"),
         "cy": F.expr("(y0 + y1) DIV 2"),
     })
-    cand = orphans.crossJoin(F.broadcast(r))
-    ring = F.greatest(
-        F.greatest(F.lit(0), F.col("rcx0") - F.col("cell_x"),
-                   F.col("cell_x") - F.col("rcx1")),
-        F.greatest(F.lit(0), F.col("rcy0") - F.col("cell_y"),
-                   F.col("cell_y") - F.col("rcy1")))
+    # ringed-halo equi-join, NOT a cross join: explode each orphan's 7x7
+    # ring-tagged halo and equi-join the broadcast rect covering-cell
+    # index on cell_id.  min(ring per matched cell) == Chebyshev distance
+    # to the rect's covering-cell RANGE, so results are identical to the
+    # O(orphans x rects) theta join the oracle SQL uses — but the work is
+    # O(orphans x 49 x density), independent of the total rect count.
+    from .functions import cells as CELLS
+    rect_cells = _rect_cells(r).select(
+        "cell_id", "poly_id", "cx", "cy")
+    halo = orphans.select(
+        "point_id", "cell_id", "px", "py",
+        F.explode(CELLS.neighbor_cells_ringed(
+            F.col("cell_id"), max_ring=3)).alias("h"))
+    cand = halo.join(
+        F.broadcast(rect_cells),
+        F.col("h.cell") == rect_cells.cell_id).drop(rect_cells.cell_id)
     d2 = ((F.col("px") - F.col("cx")) * (F.col("px") - F.col("cx"))
           + (F.col("py") - F.col("cy")) * (F.col("py") - F.col("cy")))
     scored = cand.select(
         "point_id", "cell_id", "poly_id",
-        ring.alias("ring"), d2.alias("d2")).filter(F.col("ring") <= 3)
+        F.col("h.ring").cast("long").alias("ring"), d2.alias("d2"))
     best = F.struct(F.col("ring"), F.col("d2"), F.col("poly_id").alias("p"))
     return (scored.withColumn("b", best)
             .groupBy("point_id", "cell_id")

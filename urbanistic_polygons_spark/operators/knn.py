@@ -58,42 +58,41 @@ def knn_snap(orphans: DataFrame, polygons: DataFrame, k: int = 1,
     within ``max_ring`` halos."""
     centroids = polygon_centroids(polygons)
 
-    remaining = orphans.select("doc_id", "span_idx", "cell_id", "lon", "lat")
-    snapped_parts = []
-    ring = 1
-    while ring <= max_ring:
-        halo = remaining.withColumn(
-            "halo_cell", F.explode(C.neighbor_cells(F.col("cell_id"), ring=ring)))
-        cand = halo.join(
-            F.broadcast(centroids),
-            F.col("halo_cell") == F.col("poly_cell"),
-        ).drop("poly_cell")
-        scored = cand.withColumn(
-            "dist_m", _distance_m(F.col("lon"), F.col("lat"),
-                                  F.col("c_lon"), F.col("c_lat")))
-        # deterministic nearest: min over (rounded distance, guid) — the
-        # micrometer rounding makes the sort key partition-invariant
-        best = (
-            scored
-            .withColumn("dist_key",
-                        F.struct(F.round("dist_m", 6).alias("d"),
-                                 F.col("polygon_guid").alias("g")))
-            .groupBy("doc_id", "span_idx", "cell_id", "lon", "lat")
-            .agg(F.min("dist_key").alias("best"))
-            .select("doc_id", "span_idx", "cell_id", "lon", "lat",
-                    F.col("best.g").alias("polygon_guid"))
-            .withColumn("method", F.lit("knn"))
-        )
-        snapped_parts.append(best)
-        remaining = remaining.join(
-            best.select("doc_id", "span_idx"), ["doc_id", "span_idx"], "left_anti")
-        ring += 1
-
-    unmatched = remaining.select(
+    pts = orphans.select("doc_id", "span_idx", "cell_id", "lon", "lat")
+    # SINGLE PASS over all rings: explode the ring-tagged halo once and
+    # take min (ring, dist, guid).  Identical semantics to the
+    # expand-until-found loop (candidates from a smaller ring always win;
+    # within the winning ring, nearest centroid, guid tie-break), but ONE
+    # broadcast join — an iterative anti-join loop re-executes the entire
+    # upstream pipeline per ring (the flagship plan had 118 exchanges).
+    halo = pts.select(
         "doc_id", "span_idx", "cell_id", "lon", "lat",
-        F.lit(None).cast("string").alias("polygon_guid"),
-        F.lit("none").alias("method"))
-    out = snapped_parts[0]
-    for part in snapped_parts[1:]:
-        out = out.unionByName(part)
-    return out.unionByName(unmatched)
+        F.explode(C.neighbor_cells_ringed(F.col("cell_id"),
+                                          max_ring=max_ring)).alias("h"))
+    cand = halo.join(
+        F.broadcast(centroids),
+        F.col("h.cell") == F.col("poly_cell")).drop("poly_cell")
+    scored = cand.withColumn(
+        "dist_m", _distance_m(F.col("lon"), F.col("lat"),
+                              F.col("c_lon"), F.col("c_lat")))
+    # deterministic nearest: min over (ring, rounded distance, guid) — the
+    # micrometer rounding makes the sort key partition-invariant
+    best = (
+        scored
+        .withColumn("dist_key",
+                    F.struct(F.col("h.ring").alias("r"),
+                             F.round("dist_m", 6).alias("d"),
+                             F.col("polygon_guid").alias("g")))
+        .groupBy("doc_id", "span_idx", "cell_id", "lon", "lat")
+        .agg(F.min("dist_key").alias("best"))
+        .select("doc_id", "span_idx", "cell_id", "lon", "lat",
+                F.col("best.g").alias("polygon_guid"))
+        .withColumn("method", F.lit("knn"))
+    )
+    unmatched = (
+        pts.join(best.select("doc_id", "span_idx"),
+                 ["doc_id", "span_idx"], "left_anti")
+        .select("doc_id", "span_idx", "cell_id", "lon", "lat",
+                F.lit(None).cast("string").alias("polygon_guid"),
+                F.lit("none").alias("method")))
+    return best.unionByName(unmatched)
