@@ -59,7 +59,7 @@ def entry(spark: SparkSession) -> DataFrame:
                 s["media_ref"].alias("media_ref"),
                 s["offset"].cast("int").alias("offset"))).alias("spans"))
     )
-    polygons = datagen.polygons_df(spark, 60, seed=43)
+    polygons = datagen.polygons_df(spark, 300, seed=43)
     return assign_documents(docs, polygons)
 
 

@@ -1,0 +1,48 @@
+"""ANN quality checks: the approximate paths (LSH, IVF) must actually
+approximate the exact brute-force ranking, not just run."""
+
+from pyspark.sql import functions as F
+
+from urbanistic_polygons_spark.operators.similarity import (
+    ann_topk, brute_force_topk, ivf_topk)
+
+SF = "/root/testdata/sf0.001"
+QUERIES = list(range(8))
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def _recall(approx, exact, k=5):
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    return len(a & e) / len(e)
+
+
+def test_ivf_recall_floor(spark):
+    emb = _emb(spark)
+    exact = brute_force_topk(emb, QUERIES, k=5)
+    ivf = ivf_topk(emb, QUERIES, k=5, n_lists=16, nprobe=4)
+    assert _recall(ivf, exact) >= 0.4  # 4/16 lists probed
+
+
+def test_ivf_more_probes_more_recall(spark):
+    emb = _emb(spark)
+    exact = brute_force_topk(emb, QUERIES, k=5)
+    lo = _recall(ivf_topk(emb, QUERIES, k=5, n_lists=16, nprobe=2), exact)
+    hi = _recall(ivf_topk(emb, QUERIES, k=5, n_lists=16, nprobe=16), exact)
+    assert hi >= lo
+    assert hi == 1.0  # probing every list == exhaustive search
+
+
+def test_lsh_ann_subset_of_corpus(spark):
+    emb = _emb(spark)
+    ann = ann_topk(emb, QUERIES, k=5)
+    n = ann.count()
+    assert 0 < n <= len(QUERIES) * 5
+    # ranks are dense 1..k per query
+    bad = ann.groupBy("query_id").agg(
+        F.max("rank").alias("mx"), F.count("*").alias("c")).filter(
+        F.col("mx") != F.col("c"))
+    assert bad.count() == 0

@@ -358,6 +358,72 @@ def q_embedding_ann_spark(spark, sf_dir):
     return ann_topk(spark.table("embeddings"), query_ids=list(range(8)), k=5)
 
 
+def q_embedding_ivf_spark(spark, sf_dir):
+    from .operators.similarity import ivf_topk
+    register_views(spark, sf_dir)
+    return ivf_topk(spark.table("embeddings"), query_ids=list(range(8)),
+                    k=5, n_lists=16, nprobe=4)
+
+
+# IVF is all integer arithmetic (quantized vectors, integer L2 argmin with
+# list-id tie-break, floored-mean Lloyd refinement) -> exact oracle
+_EMB_IVF_SQL = """
+WITH b AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+  FROM embeddings
+), c0 AS (
+  SELECT vec_id AS list_id, v AS c FROM b WHERE vec_id < 16
+), a0 AS (
+  SELECT vec_id, v, list_id FROM (
+    SELECT b.vec_id, b.v, c0.list_id,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+             list_sum(list_transform(range(1, CAST(len(b.v) + 1 AS BIGINT)),
+               i -> (b.v[i] - c0.c[i]) * (b.v[i] - c0.c[i]))), c0.list_id) AS rn
+    FROM b, c0) WHERE rn = 1
+), ex AS (
+  SELECT list_id,
+         unnest(range(1, CAST(len(v) + 1 AS BIGINT))) AS dim,
+         unnest(v) AS val
+  FROM a0
+), cm AS (
+  SELECT list_id, dim,
+         CAST(FLOOR(SUM(val) * 1.0 / COUNT(*)) AS BIGINT) AS m
+  FROM ex GROUP BY list_id, dim
+), c1 AS (
+  SELECT list_id, list(m ORDER BY dim) AS c FROM cm GROUP BY list_id
+), a1 AS (
+  SELECT vec_id, v, list_id FROM (
+    SELECT b.vec_id, b.v, c1.list_id,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+             list_sum(list_transform(range(1, CAST(len(b.v) + 1 AS BIGINT)),
+               i -> (b.v[i] - c1.c[i]) * (b.v[i] - c1.c[i]))), c1.list_id) AS rn
+    FROM b, c1) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM b WHERE vec_id < 8
+), pr AS (
+  SELECT query_id, qv, list_id FROM (
+    SELECT q.query_id, q.qv, c1.list_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+             list_sum(list_transform(range(1, CAST(len(q.qv) + 1 AS BIGINT)),
+               i -> (q.qv[i] - c1.c[i]) * (q.qv[i] - c1.c[i]))), c1.list_id) AS pr
+    FROM q, c1) WHERE pr <= 4
+), s AS (
+  SELECT pr.query_id, a1.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, CAST(len(a1.v) + 1 AS BIGINT)),
+           i -> a1.v[i] * pr.qv[i])) AS BIGINT) AS dot
+  FROM a1 JOIN pr USING (list_id)
+  WHERE a1.vec_id <> pr.query_id
+)
+SELECT query_id, neighbor_id, dot, CAST(rank AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY dot DESC, neighbor_id) AS rank
+  FROM s
+) WHERE rank <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # Interleaved spans synthesis + reconstruction (the input_hint table shape)
 # ---------------------------------------------------------------------------
@@ -1142,6 +1208,8 @@ FROM orders GROUP BY o_custkey, o_orderstatus""")
     df_q("embedding_topk", q_embedding_topk_spark, _EMB_TOPK_SQL)
     # LSH-ANN: float hyperplane sums aren't oracle-safe -> rows-only check
     df_q("embedding_ann", q_embedding_ann_spark, None)
+    # IVF-ANN: integer quantizer + floored-mean Lloyd step -> exact oracle
+    df_q("embedding_ivf", q_embedding_ivf_spark, _EMB_IVF_SQL)
 
     # -- interleaved spans synthesis (input_hint shape) ----------------------
     df_q("spans_explode", q_spans_spark, _SPANS_SQL)

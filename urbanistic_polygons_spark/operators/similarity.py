@@ -109,6 +109,97 @@ def ann_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
             .select("query_id", "neighbor_id", "dot", "rank"))
 
 
+def int_l2(a, b):
+    """Exact integer squared L2 distance (JVM-side)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def _assign_lists(base: DataFrame, centroids: DataFrame,
+                  id_col: str) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the (tiny) centroid table,
+    argmin (d2, list_id).  Returns (vec_id, q, list_id)."""
+    d2 = int_l2(F.col("q"), F.col("c"))
+    best = (
+        base.crossJoin(F.broadcast(centroids))
+        .select(F.col(id_col), F.struct(
+            d2.alias("d"), F.col("list_id").alias("l")).alias("key"))
+        .groupBy(id_col).agg(F.min("key").alias("key"))
+        .select(F.col(id_col), F.col("key.l").alias("list_id"))
+    )
+    return base.join(best, id_col)
+
+
+def ivf_train(embeddings: DataFrame, n_lists: int = 16,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              iters: int = 1) -> DataFrame:
+    """Deterministic IVF coarse quantizer: seed centroids are the
+    ``n_lists`` lowest-id vectors; each Lloyd iteration reassigns (integer
+    L2 argmin, tie-break list id) and recomputes centroids as the
+    floored element-wise mean.  All integer arithmetic -> bit-identical in
+    the DuckDB oracle.
+
+    Returns (list_id, c array<long>).  At 100 TB: centroids are tiny and
+    broadcast; each iteration is one map-side assignment + one (list, dim)
+    aggregation — no corpus self-join anywhere.
+    """
+    base = embeddings.select(F.col(id_col),
+                             quantized(F.col(vec_col)).alias("q"))
+    cent = (base.filter(F.col(id_col) < n_lists)
+            .select(F.col(id_col).alias("list_id"), F.col("q").alias("c")))
+    for _ in range(iters):
+        assigned = _assign_lists(base, cent, id_col)
+        # element-wise floored mean per list: posexplode -> (list, dim) agg
+        # -> reassemble ordered array (partial agg keeps this map-side)
+        cent = (
+            assigned.select("list_id", F.posexplode("q").alias("dim", "val"))
+            .groupBy("list_id", "dim")
+            .agg(F.floor(F.sum("val") / F.count("*")).alias("m"))
+            .groupBy("list_id")
+            .agg(F.array_sort(F.collect_list(
+                F.struct(F.col("dim"), F.col("m")))).alias("dm"))
+            .select("list_id",
+                    F.transform("dm", lambda s: s["m"]).alias("c"))
+        )
+    return cent
+
+
+def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
+             n_lists: int = 16, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF approximate top-k: queries probe their ``nprobe`` nearest
+    inverted lists; candidates score by exact integer dot.
+
+    Output: (query_id, neighbor_id, dot, rank).  Scale path: the corpus is
+    partitioned (or bucketed on disk) by list_id, so a probe reads nprobe
+    partitions; centroids and the query set broadcast."""
+    cent = ivf_train(embeddings, n_lists, id_col, vec_col)
+    base = embeddings.select(F.col(id_col),
+                             quantized(F.col(vec_col)).alias("q"))
+    inv = _assign_lists(base, cent, id_col)
+    queries = (base.filter(F.col(id_col).isin(query_ids))
+               .select(F.col(id_col).alias("query_id"), F.col("q").alias("qv")))
+    wp = Window.partitionBy("query_id").orderBy("pd", "list_id")
+    probes = (
+        queries.crossJoin(F.broadcast(cent))
+        .select("query_id", "qv", "list_id",
+                int_l2(F.col("qv"), F.col("c")).alias("pd"))
+        .withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "qv", "list_id")
+    )
+    scored = (
+        inv.join(F.broadcast(probes), "list_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", F.col(id_col).alias("neighbor_id"),
+                int_dot(F.col("q"), F.col("qv")).alias("dot"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "dot", "rank"))
+
+
 def embedding_near_dup(embeddings: DataFrame, id_col: str = "vec_id",
                        vec_col: str = "embedding",
                        n_planes: int = 10, min_dot: int = 0) -> DataFrame:
