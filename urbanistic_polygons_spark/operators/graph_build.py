@@ -124,6 +124,122 @@ def split_ways_to_edges(nodes: DataFrame, ways: DataFrame) -> DataFrame:
     return edges
 
 
+def prune_shape_points(edges: DataFrame, max_rounds: int = 16) -> DataFrame:
+    """G4 (declarative variant): contract degree-2 vertices by merging their
+    two incident edges, shapes concatenated through the removed vertex —
+    reference TiledBarrierGraphExtensions.cs:214-255 (tag equality is
+    approximated by way_id equality: edges of one way always share tags).
+
+    Round-based chain contraction: each round merges a conflict-free set of
+    degree-2 vertices (an edge merges only at the vertex that is its
+    smallest candidate key), contracting every chain by a constant factor
+    per round — a length-L chain collapses in O(log L) rounds.  At scale each round is two narrow shuffles
+    (degree count + merge join); the in-kernel variant in operators/faces.py
+    covers the tile-local case, this one the global pre-pass.
+    """
+    vkey1 = F.format_string("%.9f %.9f", F.col("v1_lon"), F.col("v1_lat"))
+    vkey2 = F.format_string("%.9f %.9f", F.col("v2_lon"), F.col("v2_lat"))
+    ekey = F.format_string("%s#%s", F.col("way_id").cast("string"),
+                           F.col("seg").cast("string"))
+
+    for _ in range(max_rounds):
+        e = edges.withColumn("ekey", ekey).withColumn(
+            "vk1", vkey1).withColumn("vk2", vkey2)
+        not_loop = e.filter(F.col("vk1") != F.col("vk2"))
+        ends = not_loop.select(
+            F.col("vk1").alias("vk"), F.struct("ekey", "way_id").alias("inc")
+        ).unionByName(not_loop.select(
+            F.col("vk2").alias("vk"), F.struct("ekey", "way_id").alias("inc")))
+        cand = (ends.groupBy("vk")
+                .agg(F.array_sort(F.collect_list("inc")).alias("incs"))
+                .filter((F.size("incs") == 2)
+                        & (F.col("incs")[0]["ekey"] != F.col("incs")[1]["ekey"])
+                        & (F.col("incs")[0]["way_id"] == F.col("incs")[1]["way_id"]))
+                .select("vk", F.col("incs")[0]["ekey"].alias("e1"),
+                        F.col("incs")[1]["ekey"].alias("e2")))
+        # conflict-free: an edge participates only at its smallest cand vk
+        emin = (cand.select(F.col("e1").alias("ek"), "vk")
+                .unionByName(cand.select(F.col("e2").alias("ek"), "vk"))
+                .groupBy("ek").agg(F.min("vk").alias("min_vk")))
+        ok = (cand
+              .join(emin.withColumnRenamed("ek", "e1")
+                    .withColumnRenamed("min_vk", "m1"), ["e1"])
+              .join(emin.withColumnRenamed("ek", "e2")
+                    .withColumnRenamed("min_vk", "m2"), ["e2"])
+              .filter((F.col("m1") == F.col("vk")) & (F.col("m2") == F.col("vk")))
+              .select("vk", "e1", "e2"))
+        if ok.isEmpty():
+            return edges
+        # orient each merging edge to END at the removed vertex, then chain
+        sides = (ok.select("vk", F.col("e1").alias("ekey"), F.lit(1).alias("side"))
+                 .unionByName(ok.select("vk", F.col("e2").alias("ekey"),
+                                        F.lit(2).alias("side"))))
+        m = e.join(sides, "ekey")
+        at_v2 = F.col("vk2") == F.col("vk")
+        far_lon = F.when(at_v2, F.col("v1_lon")).otherwise(F.col("v2_lon"))
+        far_lat = F.when(at_v2, F.col("v1_lat")).otherwise(F.col("v2_lat"))
+        # shape oriented far -> vk
+        shp = F.when(at_v2, F.col("shape_pts")).otherwise(
+            F.when(F.col("shape_pts").isNull(), F.lit(None)).otherwise(
+                F.concat_ws(";", F.reverse(F.split(F.col("shape_pts"), ";")))))
+        m = m.select("vk", "side", "way_id", "seg",
+                     far_lon.alias("f_lon"), far_lat.alias("f_lat"),
+                     shp.alias("shp"))
+        merged = (
+            m.groupBy("vk")
+            .agg(F.min(F.when(F.col("side") == 1, F.struct(
+                "f_lon", "f_lat", "shp", "way_id", "seg"))).alias("a"),
+                 F.min(F.when(F.col("side") == 2, F.struct(
+                     "f_lon", "f_lat", "shp", "way_id", "seg"))).alias("b"))
+            .select(
+                F.col("a.way_id").alias("way_id"),
+                F.least(F.col("a.seg"), F.col("b.seg")).alias("seg"),
+                F.col("a.f_lon").alias("a_lon"), F.col("a.f_lat").alias("a_lat"),
+                F.col("b.f_lon").alias("b_lon"), F.col("b.f_lat").alias("b_lat"),
+                # a.shp (a->vk) + vk + reverse(b.shp) (vk->b)
+                F.concat_ws(";", F.filter(F.array(
+                    F.col("a.shp"), F.col("vk"),
+                    F.when(F.col("b.shp").isNull(), F.lit(None)).otherwise(
+                        F.concat_ws(";", F.reverse(F.split(F.col("b.shp"), ";"))))
+                ), lambda x: x.isNotNull())).alias("mid_str"))
+        )
+        fwd = F.col("a_lon") < F.col("b_lon")
+        rev_mid = F.concat_ws(";", F.reverse(F.split(F.col("mid_str"), ";")))
+        new_edges = merged.select(
+            "way_id", "seg",
+            F.when(fwd, F.col("a_lon")).otherwise(F.col("b_lon")).alias("v1_lon"),
+            F.when(fwd, F.col("a_lat")).otherwise(F.col("b_lat")).alias("v1_lat"),
+            F.when(fwd, F.col("b_lon")).otherwise(F.col("a_lon")).alias("v2_lon"),
+            F.when(fwd, F.col("b_lat")).otherwise(F.col("a_lat")).alias("v2_lat"),
+            F.when(F.col("mid_str") == "", F.lit(None)).otherwise(
+                F.when(fwd, F.col("mid_str")).otherwise(rev_mid)).alias("shape_pts"),
+        )
+        # recompute bbox over endpoints + shape
+        shape_lons = F.transform(F.split(F.coalesce("shape_pts", F.lit("")), ";"),
+                                 lambda p: F.split(p, " ")[0].cast("double"))
+        shape_lats = F.transform(F.split(F.coalesce("shape_pts", F.lit("")), ";"),
+                                 lambda p: F.split(p, " ")[1].cast("double"))
+        all_lons = F.filter(F.concat(F.array("v1_lon", "v2_lon"), shape_lons),
+                            lambda x: x.isNotNull())
+        all_lats = F.filter(F.concat(F.array("v1_lat", "v2_lat"), shape_lats),
+                            lambda x: x.isNotNull())
+        new_edges = new_edges.select(
+            "*",
+            F.array_min(all_lons).alias("min_lon"),
+            F.array_min(all_lats).alias("min_lat"),
+            F.array_max(all_lons).alias("max_lon"),
+            F.array_max(all_lats).alias("max_lat"))
+        dropped = (sides.select("ekey").distinct())
+        survivors = (e.join(dropped, "ekey", "left_anti")
+                     .select(*[c for c in edges.columns]))
+        # cut lineage per round — the iterative plan otherwise grows
+        # multiplicatively (each round embeds the previous one several
+        # times over); localCheckpoint materializes this round's result
+        edges = (survivors.unionByName(new_edges.select(*edges.columns))
+                 .localCheckpoint(eager=True))
+    return edges
+
+
 def bucket_edges_by_cell(edges: DataFrame, halo_ring: int = 1) -> DataFrame:
     """S3 ingest: replicate each edge to the halo of every anchor cell its
     bbox overlaps; ``in_anchor`` marks rows whose edge bbox overlaps the
