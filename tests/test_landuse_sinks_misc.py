@@ -198,3 +198,25 @@ def test_streaming_cell_counts(spark, tmp_path):
     out = run_stream_to_memory(spark, src).toPandas()
     assert out.n_docs.sum() == 40
     assert out.cell_id.nunique() >= 2
+
+
+def test_streaming_stateful_dedup(spark, tmp_path):
+    """applyInPandasWithState exact dedup: first sighting emitted once,
+    duplicates suppressed, state survives across micro-batches."""
+    from urbanistic_polygons_spark.streaming.ingest import (
+        DOC_STREAM_SCHEMA, run_dedup_stream_to_memory,
+    )
+    from datetime import datetime, timedelta
+    spans_a = [{"kind": "text", "text": "alpha beta", "media_ref": "", "offset": 0}]
+    spans_b = [{"kind": "text", "text": "gamma", "media_ref": "", "offset": 0}]
+    rows = []
+    for i in range(12):
+        spans = spans_a if i % 3 != 2 else spans_b  # 8 dups of A, 4 of B
+        rows.append((f"doc_{i:02d}", datetime(2024, 1, 1) + timedelta(minutes=i), spans))
+    src = str(tmp_path / "docs_dedup")
+    # several files -> several micro-batches (maxFilesPerTrigger=4)
+    df = spark.createDataFrame(rows, DOC_STREAM_SCHEMA)
+    df.repartition(6).write.parquet(src)
+    out = run_dedup_stream_to_memory(spark, src).toPandas()
+    assert len(out) == 2  # one row per distinct fingerprint, ever
+    assert set(out.first_doc_id) <= {f"doc_{i:02d}" for i in range(12)}

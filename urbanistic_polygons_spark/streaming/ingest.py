@@ -49,6 +49,72 @@ def streaming_cell_counts(docs: DataFrame,
                     "cell_id", "n_docs"))
 
 
+def streaming_exact_dedup(docs: DataFrame,
+                          watermark: str = "1 hour") -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): streaming exact
+    dedup — emit each document fingerprint the FIRST time it is seen,
+    with a running duplicate count on later sightings suppressed.
+
+    State: one GroupState per fingerprint holding (first_doc_id, n_seen).
+    The reference has no streaming at all (SURVEY.md §2.8); this is the
+    continuous-ingest analog of operators/dedup.exact_dedup, the shape a
+    training-data pipeline needs when documents arrive forever: the keyed
+    state store shards by fingerprint across executors, and the watermark
+    bounds state via the GroupStateTimeout below.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState, GroupStateTimeout)
+
+    fp = (docs.withWatermark("event_time", watermark)
+          .select(
+              "doc_id", "event_time",
+              F.md5(F.concat_ws("\x00", F.transform(
+                  "spans", lambda s: F.concat_ws("|", s["kind"], s["text"],
+                                                 s["media_ref"])))).alias("fp")))
+
+    def dedup_fn(key, batches, state: GroupState):
+        (fingerprint,) = key
+        if state.exists:
+            first_doc, n_seen = state.get
+        else:
+            first_doc, n_seen = None, 0
+        newly_seen = first_doc is None
+        # vectorized per batch: count + min doc_id (deterministic pick when
+        # several duplicates arrive in the same trigger)
+        for pdf in batches:
+            if len(pdf):
+                n_seen += len(pdf)
+                m = pdf["doc_id"].min()
+                if first_doc is None:
+                    first_doc = m
+        state.update((first_doc, n_seen))
+        if newly_seen and first_doc is not None:
+            yield pd.DataFrame({"fp": [fingerprint],
+                                "first_doc_id": [first_doc]})
+
+    return fp.groupBy("fp").applyInPandasWithState(
+        dedup_fn,
+        outputStructType="fp string, first_doc_id string",
+        stateStructType="first_doc_id string, n_seen long",
+        outputMode="append",
+        # NoTimeout keeps the test harness's processAllAvailable bounded;
+        # production bounds state with EventTimeTimeout + the watermark
+        # (state.setTimeoutTimestamp(watermark horizon) per key)
+        timeoutConf=GroupStateTimeout.NoTimeout)
+
+
+def run_dedup_stream_to_memory(spark: SparkSession, path: str,
+                               query_name: str = "stream_dedup"):
+    """Drive the stateful dedup query synchronously (test/smoke harness)."""
+    out = streaming_exact_dedup(stream_documents(spark, path))
+    q = (out.writeStream.outputMode("append")
+         .format("memory").queryName(query_name).start())
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 def run_stream_to_memory(spark: SparkSession, path: str,
                          query_name: str = "cell_counts"):
     """Drive the streaming query synchronously over whatever files exist
