@@ -46,16 +46,24 @@ def main() -> None:
     spark = get_spark("bench", cores=cpus, shuffle_partitions=max(cpus, 8))
     cat = build_catalog()
 
-    # warm the JVM + parquet footers once (not timed)
+    # warm the JVM, parquet footers, codegen, and the Arrow/python-worker
+    # path once (not timed)
     spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    cat["pip_assign"]["spark"](spark, sf_dir).count()
+    cat["media_meta"]["spark"](spark, sf_dir).count()
 
-    timings: dict[str, float] = {}
+    # steady-state timing: two executions per query (the callable rebuilds
+    # the plan each call; verified that rebuilt-plan count() re-executes,
+    # no result reuse), report the min, keep both runs for transparency
+    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
     rows: dict[str, int] = {}
-    for name in HEADLINE:
-        fn = cat[name]["spark"]
-        t0 = time.perf_counter()
-        rows[name] = fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _ in range(2):
+        for name in HEADLINE:
+            fn = cat[name]["spark"]
+            t0 = time.perf_counter()
+            rows[name] = fn(spark, sf_dir).count()
+            runs[name].append(round(time.perf_counter() - t0, 3))
+    timings = {name: min(ts) for name, ts in runs.items()}
 
     # flagship docs/sec: geo-span -> polygon assignment throughput over the
     # spans synthesized from the sf documents table
@@ -75,6 +83,7 @@ def main() -> None:
         "cpus": cpus,
         "docs_per_sec_spatial": docs_per_sec,
         "rows": rows,
+        "runs": runs,
     }))
     spark.stop()
 
