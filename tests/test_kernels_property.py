@@ -92,3 +92,15 @@ def test_face_guid_rotation_invariant(pts):
     g0 = K.face_guid(ring)
     g1 = K.face_guid(np.roll(ring, 3, axis=0))
     assert g0 == g1
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(min_value=0, max_value=(1 << 22) - 1))
+def test_sub_tiles_children_map_back_to_parent(tid):
+    """Every z14 descendant of a z11 tile has that tile as its ancestor."""
+    children = K.sub_tiles(np.array([tid]), 11, 14)[0]
+    assert len(children) == 64
+    cx, cy = K.tile_from_local_id(children.astype(np.uint32), 14)
+    px, py = K.tile_from_local_id(np.array([tid], np.uint32), 11)
+    assert ((cx >> 3) == px[0]).all() and ((cy >> 3) == py[0]).all()
+    assert len(np.unique(children)) == 64

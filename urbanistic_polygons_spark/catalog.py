@@ -240,6 +240,44 @@ def q_knn_snap_spark(spark, sf_dir):
                     F.col("b.d2").alias("d2")))
 
 
+def q_tile_pyramid_spark(spark, sf_dir):
+    """Pyramid descent (G7 / reference SubTilesFor, TileStatic.cs:141-171):
+    z11 parents of occupied cells -> enumerate all 64 z14 descendants ->
+    equi-join occupied-cell counts -> per-parent rollup.
+
+    The oracle verifies via the algebraic identity (grouping occupied cells
+    directly by parent), so the descent machinery is cross-checked against
+    straight integer arithmetic."""
+    from .functions import cells as CELLS
+    per_cell = (_pts_df(spark, sf_dir)
+                .groupBy("cell_id").agg(F.count("*").alias("n")))
+    parents = per_cell.select(
+        CELLS.parent_cell(F.col("cell_id"), 14, 11).alias("parent")).distinct()
+    children = parents.select(
+        "parent",
+        F.explode(CELLS.sub_tiles_for(F.col("parent"), 11, 14)).alias("cell_id"))
+    return (children.join(per_cell, "cell_id")
+            .groupBy("parent")
+            .agg(F.count("*").alias("n_occupied_children"),
+                 F.sum("n").alias("n_points")))
+
+
+_TILE_PYRAMID_SQL = """
+WITH pts AS (
+  SELECT (o_orderkey * 7919) % 1890000 AS px,
+         (o_custkey * 7907 + o_orderkey * 13) % 1520000 AS py
+  FROM orders
+), c AS (
+  SELECT (py // 10000 + 5447) * 16384 + (px // 10000 + 8300) AS cell_id,
+         px // 10000 + 8300 AS cx, py // 10000 + 5447 AS cy, COUNT(*) AS n
+  FROM pts GROUP BY 1, 2, 3
+)
+SELECT (cy // 8) * 2048 + (cx // 8) AS parent,
+       COUNT(*) AS n_occupied_children, SUM(n) AS n_points
+FROM c GROUP BY 1
+"""
+
+
 def q_cell_halo_spark(spark, sf_dir):
     """3x3 halo point totals per occupied cell: explode halo cells + equi
     join (the engine's halo pattern, no theta join)."""
@@ -1131,6 +1169,8 @@ orph AS (
 )
 SELECT point_id, cell_id, poly_id AS polygon_id, ring, d2
 FROM ranked WHERE rn = 1""", "duckdb"))
+
+    df_q("tile_pyramid", q_tile_pyramid_spark, _TILE_PYRAMID_SQL)
 
     df_q("cell_halo", q_cell_halo_spark, _render(f"""
 WITH {PTS},

@@ -78,6 +78,34 @@ def neighbor_cells(cell: Column, ring: int = 1, zoom: int = DEFAULT_ZOOM) -> Col
     return F.array_distinct(F.array(*cells))
 
 
+def parent_cell(cell: Column, zoom_from: int = DEFAULT_ZOOM,
+                zoom_to: int = 10) -> Column:
+    """z``zoom_from`` cell id -> its ancestor z``zoom_to`` cell id."""
+    d = zoom_from - zoom_to
+    x = cell_x(cell, zoom_from)
+    y = cell_y(cell, zoom_from)
+    return (F.shiftright(y, d) * F.lit(1 << zoom_to)
+            + F.shiftright(x, d)).alias("parent_cell")
+
+
+def sub_tiles_for(cell: Column, zoom_from: int,
+                  zoom_to: int = DEFAULT_ZOOM) -> Column:
+    """array<long> of the 4^d z``zoom_to`` descendants of a z``zoom_from``
+    cell — the pyramid descent for z<14 tile requests (reference
+    TileStatic.cs:141-171); explode + face-guid dedup serves the union of
+    subtile outputs (reference TiledPolygonGraphBuilder.cs:33-45)."""
+    d = zoom_to - zoom_from
+    n = 1 << d
+    x = cell_x(cell, zoom_from)
+    y = cell_y(cell, zoom_from)
+    return F.flatten(F.transform(
+        F.sequence(F.lit(0), F.lit(n - 1)),
+        lambda j: F.transform(
+            F.sequence(F.lit(0), F.lit(n - 1)),
+            lambda i: (y * F.lit(n) + j) * F.lit(1 << zoom_to)
+            + x * F.lit(n) + i)))
+
+
 def neighbor_cells_ringed(cell: Column, max_ring: int = 3,
                           zoom: int = DEFAULT_ZOOM) -> Column:
     """array<struct<cell:long, ring:int>> of the (2r+1)^2 halo around

@@ -129,6 +129,24 @@ def tiles_for_box(min_lon: float, min_lat: float, max_lon: float, max_lat: float
     return tile_local_id(gx.ravel(), gy.ravel(), zoom)
 
 
+def sub_tiles(tile_id: np.ndarray, zoom_from: int,
+              zoom_to: int = DEFAULT_ZOOM) -> np.ndarray:
+    """(n, 4^d) z``zoom_to`` tile ids under each z``zoom_from`` tile —
+    the pyramid descent serving z<14 requests (reference
+    Tiles/TileStatic.cs:141-171 SubTilesFor)."""
+    d = zoom_to - zoom_from
+    if d < 0:
+        raise ValueError("zoom_to must be >= zoom_from")
+    n = 1 << d
+    x, y = tile_from_local_id(np.asarray(tile_id, np.int64), zoom_from)
+    i = np.arange(n)
+    cx = (x[:, None] * n + i[None, :])  # (n_tiles, n)
+    cy = (y[:, None] * n + i[None, :])
+    # all (cy, cx) combos: (n_tiles, n, n)
+    ids = (cy[:, :, None] * (1 << zoom_to) + cx[:, None, :])
+    return ids.reshape(len(x), n * n)
+
+
 def neighbor_cells(tile_id: np.ndarray, ring: int = 1, zoom: int = DEFAULT_ZOOM) -> np.ndarray:
     """(n,) tile ids -> (n, (2r+1)^2) ids of the r-ring halo around each tile.
 
