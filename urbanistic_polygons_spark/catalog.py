@@ -1226,6 +1226,14 @@ SELECT user_id, COUNT(DISTINCT session_id) AS n_sessions,
        COUNT(*) AS n_events
 FROM s GROUP BY user_id""")
 
+    sql_q("landuse_rollup", f"""
+WITH {PTS}, {RECTS}, {PIP_JOIN}
+SELECT COALESCE(cls, '<all>') AS cls,
+       COALESCE(CAST(cell_y AS STRING), '<all>') AS row_band,
+       COUNT(*) AS n_points, SUM(weight_cents) AS sum_weight_cents
+FROM (SELECT cls, cell_id {{D}} 16384 AS cell_y, weight_cents FROM hits)
+GROUP BY GROUPING SETS ((cls, cell_y), (cls), ())""")
+
     sql_q("dedup_keeper", """
 SELECT o_custkey, o_orderstatus, MIN(o_orderkey) AS keeper, COUNT(*) AS n
 FROM orders GROUP BY o_custkey, o_orderstatus""")
