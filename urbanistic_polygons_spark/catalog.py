@@ -199,8 +199,22 @@ def q_knn_snap_spark(spark, sf_dir):
     rect center, tie-break poly_id — broadcast join, no shuffle of points."""
     pts = _pts_df(spark, sf_dir)
     rects = _rects_df(spark, sf_dir)
-    matched = _pip_hits(spark, sf_dir).select("point_id").distinct()
-    orphans = pts.join(matched, "point_id", "left_anti")
+    # single-pass orphan detection: LEFT broadcast join with the refine
+    # predicates in the join condition, then per-point agg — the PIP chain
+    # runs ONCE (a separate matched-ids anti-join would execute the whole
+    # candidate+refine subtree a second time; broadcast joins end in no
+    # exchange, so ReuseExchange cannot dedupe them)
+    index = _rect_cells(_rects_df(spark, sf_dir)).select(
+        F.col("cell_id").alias("i_cell"), "poly_id", "x0", "x1", "y0", "y1")
+    assigned = (
+        pts.join(F.broadcast(index),
+                 (F.col("cell_id") == F.col("i_cell"))
+                 & (F.col("px") >= F.col("x0")) & (F.col("px") < F.col("x1"))
+                 & (F.col("py") >= F.col("y0")) & (F.col("py") < F.col("y1")),
+                 "left")
+        .groupBy("point_id", "cell_id", "px", "py")
+        .agg(F.min("poly_id").alias("hit_poly")))
+    orphans = assigned.filter(F.col("hit_poly").isNull())
     r = rects.withColumns({
         "rcx0": F.expr("x0 DIV 10000") + 8300,
         "rcx1": F.expr("x1 DIV 10000") + 8300,
@@ -1225,6 +1239,13 @@ WITH o AS (
 SELECT user_id, COUNT(DISTINCT session_id) AS n_sessions,
        COUNT(*) AS n_events
 FROM s GROUP BY user_id""")
+
+    # global ordered top-k (TakeOrderedAndProject / range-partitioned sort)
+    sql_q("global_topk", f"""
+WITH {PTS}
+SELECT point_id, px, py, weight_cents FROM pts
+ORDER BY weight_cents DESC, point_id
+LIMIT 100""")
 
     sql_q("landuse_rollup", f"""
 WITH {PTS}, {RECTS}, {PIP_JOIN}
