@@ -254,6 +254,35 @@ def q_knn_snap_spark(spark, sf_dir):
                     F.col("b.d2").alias("d2")))
 
 
+def q_salted_agg_spark(spark, sf_dir):
+    """Two-phase salted aggregation (north_rule skew pattern): hot cells
+    are split across 8 salted partial-agg keys, then merged.  The oracle
+    is the plain per-cell grouping — identical results by construction,
+    so the skew machinery is verified value-exact."""
+    pts = _pts_df(spark, sf_dir)
+    salted = pts.withColumn("salt", F.pmod(F.hash("point_id"), F.lit(8)))
+    partial = (salted.groupBy("cell_id", "salt")
+               .agg(F.count("*").alias("pn"),
+                    F.sum("weight_cents").alias("pw")))
+    return (partial.groupBy("cell_id")
+            .agg(F.sum("pn").alias("n_points"),
+                 F.sum("pw").alias("sum_weight_cents")))
+
+
+_SALTED_AGG_SQL = """
+WITH pts AS (
+  SELECT o_orderkey AS point_id,
+         (o_orderkey * 7919) % 1890000 AS px,
+         (o_custkey * 7907 + o_orderkey * 13) % 1520000 AS py,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS weight_cents
+  FROM orders
+)
+SELECT (py // 10000 + 5447) * 16384 + (px // 10000 + 8300) AS cell_id,
+       COUNT(*) AS n_points, SUM(weight_cents) AS sum_weight_cents
+FROM pts GROUP BY 1
+"""
+
+
 def q_tile_pyramid_spark(spark, sf_dir):
     """Pyramid descent (G7 / reference SubTilesFor, TileStatic.cs:141-171):
     z11 parents of occupied cells -> enumerate all 64 z14 descendants ->
@@ -1185,6 +1214,7 @@ SELECT point_id, cell_id, poly_id AS polygon_id, ring, d2
 FROM ranked WHERE rn = 1""", "duckdb"))
 
     df_q("tile_pyramid", q_tile_pyramid_spark, _TILE_PYRAMID_SQL)
+    df_q("salted_agg", q_salted_agg_spark, _SALTED_AGG_SQL)
 
     df_q("cell_halo", q_cell_halo_spark, _render(f"""
 WITH {PTS},
