@@ -874,6 +874,60 @@ def q_mvt_tiles_spark(spark, sf_dir):
                         F.length("mvt").alias("mvt_bytes"))
 
 
+def q_density_mvt_spark(spark, sf_dir):
+    """North-star composition: density raster -> thresholded segments
+    (raster->vector) -> lon/lat rect polygons -> MVT tile blobs (S7).
+
+    One declarative pipeline: groupBy raster agg, window island detection,
+    inverse-Mercator corner math (all JVM), then the per-tile protobuf
+    kernel."""
+    import math as _math
+
+    from .sources.mvt import faces_to_mvt
+
+    pts = _pts_df(spark, sf_dir)
+    # per-cell raster (10000 micro = one z14 cell) so a segment is one
+    # tile tall and its covering-tile count equals its run length —
+    # a 10x coarser raster exploded every segment to ~100 z14 tiles and
+    # drowned the MVT stage in 22k one-feature kernel groups
+    g = (pts.select(F.expr("px DIV 10000").alias("gx"),
+                    F.expr("py DIV 10000").alias("gy"))
+         .groupBy("gx", "gy").agg(F.count("*").alias("n"))
+         .filter(F.col("n") >= 2))
+    w = Window.partitionBy("gy").orderBy("gx")
+    seg = (g.withColumn("grp", F.col("gx") - F.row_number().over(w))
+           .groupBy("gy", "grp")
+           .agg(F.min("gx").alias("x_start"), F.max("gx").alias("x_end"),
+                F.sum("n").alias("n_points")))
+
+    def lon(xm):
+        return (xm / 10000.0 + 8300) / 16384.0 * 360.0 - 180.0
+
+    def lat(ym):
+        ty = (ym / 10000.0 + 5447) / 16384.0
+        return F.degrees(F.atan(F.sinh(
+            F.lit(_math.pi) * (F.lit(1.0) - F.lit(2.0) * ty))))
+
+    x0 = lon(F.col("x_start") * 10000)
+    x1 = lon((F.col("x_end") + 1) * 10000)
+    y0 = lat(F.col("gy") * 10000)         # north edge (smaller tile y)
+    y1 = lat((F.col("gy") + 1) * 10000)   # south edge
+    pt = lambda a, b: F.format_string("%.9f %.9f", a, b)  # noqa: E731
+    faces = seg.select(
+        F.md5(F.format_string("%d_%d", F.col("gy"), F.col("x_start")))
+        .alias("face_guid"),
+        F.concat_ws(";", pt(x0, y0), pt(x1, y0), pt(x1, y1), pt(x0, y1),
+                    pt(x0, y0)).alias("ring"),
+        F.least(x0, x1).alias("min_lon"), F.least(y0, y1).alias("min_lat"),
+        F.greatest(x0, x1).alias("max_lon"), F.greatest(y0, y1).alias("max_lat"))
+    # encode the density layer at z11 (the serving pyramid level): cell-
+    # sized segments grouped into 64x-coarser tiles keeps the per-tile
+    # kernel fed with real batches instead of 10k one-feature groups
+    tiles = faces_to_mvt(faces, zoom=11)
+    return tiles.select("tile_z", "tile_x", "tile_y", "n_features",
+                        F.length("mvt").alias("mvt_bytes"))
+
+
 def q_geojson_spark(spark, sf_dir):
     """S6 GeoJSON sink over the grid faces."""
     from .operators.graph_build import build_faces_from_ways
@@ -1325,6 +1379,7 @@ FROM orders GROUP BY o_custkey, o_orderstatus""")
     df_q("faces_grid", q_faces_grid_spark, None)
     df_q("faces_landuse", q_faces_landuse_spark, None)
     df_q("mvt_tiles", q_mvt_tiles_spark, None)
+    df_q("density_mvt", q_density_mvt_spark, None)
     df_q("geojson_features", q_geojson_spark, None)
 
     return cat
