@@ -66,3 +66,32 @@ def test_faces_partition_invariance(spark, grid):
     a = build_faces_from_ways(nodes, ways).toPandas()
     b = build_faces_from_ways(nodes.repartition(7), ways.repartition(5)).toPandas()
     assert sorted(a.face_guid) == sorted(b.face_guid)
+
+
+def test_build_faces_planarizes_crossings(spark):
+    """End-to-end J4 wiring: a square with NON-NODED crossing diagonals
+    yields the 4 triangular faces only when planarize_crossings=True."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from urbanistic_polygons_spark.operators.graph_build import (
+        build_faces_from_ways,
+    )
+    B_LON, B_LAT, S = 4.78, 51.26, 0.004
+    corners = [(1, B_LON, B_LAT), (2, B_LON + S, B_LAT),
+               (3, B_LON + S, B_LAT + S), (4, B_LON, B_LAT + S)]
+    nodes = spark.createDataFrame(corners, "node_id long, lon double, lat double")
+    tags = {"highway": "residential"}
+    ways = spark.createDataFrame(
+        [(10, [1, 2, 3, 4, 1], tags),   # perimeter ring
+         (11, [1, 3], tags),            # diagonal (crosses 12, not noded)
+         (12, [2, 4], tags)],
+        "way_id long, nodes array<long>, tags map<string,string>")
+    flat = build_faces_from_ways(nodes, ways, planarize_crossings=True)
+    n_flat = flat.count()
+    raw = build_faces_from_ways(nodes, ways, planarize_crossings=False)
+    n_raw = raw.count()
+    # 4 triangles + the unbounded exterior face (a fully-loaded graph's
+    # outer walk closes and is a normal face — same convention as the
+    # reference and the 6x6 grid's 25+1=26)
+    assert n_flat == 5, f"expected 4 triangles + outer, got {n_flat}"
+    assert n_raw < 5  # without noding the diagonals cannot close triangles

@@ -215,14 +215,15 @@ def prune_shape_points(edges: DataFrame, max_rounds: int = 16) -> DataFrame:
                 F.when(fwd, F.col("mid_str")).otherwise(rev_mid)).alias("shape_pts"),
         )
         # recompute bbox over endpoints + shape
-        shape_lons = F.transform(F.split(F.coalesce("shape_pts", F.lit("")), ";"),
+        shape_tokens = F.filter(
+            F.split(F.coalesce("shape_pts", F.lit("")), ";"),
+            lambda p: F.length(p) > 0)  # ANSI mode: never cast '' to double
+        shape_lons = F.transform(shape_tokens,
                                  lambda p: F.split(p, " ")[0].cast("double"))
-        shape_lats = F.transform(F.split(F.coalesce("shape_pts", F.lit("")), ";"),
+        shape_lats = F.transform(shape_tokens,
                                  lambda p: F.split(p, " ")[1].cast("double"))
-        all_lons = F.filter(F.concat(F.array("v1_lon", "v2_lon"), shape_lons),
-                            lambda x: x.isNotNull())
-        all_lats = F.filter(F.concat(F.array("v1_lat", "v2_lat"), shape_lats),
-                            lambda x: x.isNotNull())
+        all_lons = F.concat(F.array("v1_lon", "v2_lon"), shape_lons)
+        all_lats = F.concat(F.array("v1_lat", "v2_lat"), shape_lats)
         new_edges = new_edges.select(
             "*",
             F.array_min(all_lons).alias("min_lon"),
@@ -270,8 +271,45 @@ def bucket_edges_by_cell(edges: DataFrame, halo_ring: int = 1) -> DataFrame:
     return out
 
 
+def planarize_edges(edges: DataFrame) -> DataFrame:
+    """J4 wiring for the way/seg edge schema: split non-noded crossings
+    via operators/planarize, then restore (way_id, seg) identity (seg is
+    re-numbered densely per way, deterministic by split key) and the bbox
+    columns.  OSM data is mostly pre-noded; this is the guard for inputs
+    that are not (reference planarizes every added edge,
+    TiledBarrierGraphExtensions.cs:39-137)."""
+    from .planarize import planarize as _planarize
+
+    keyed = edges.select(
+        F.format_string("%d#%d", F.col("way_id"), F.col("seg")).alias("edge_key"),
+        "v1_lon", "v1_lat", "v2_lon", "v2_lat", "shape_pts")
+    flat = _planarize(keyed)
+    w = Window.partitionBy("way_id").orderBy("edge_key")
+    out = (flat
+           .withColumn("way_id",
+                       F.split("edge_key", "#").getItem(0).cast("long"))
+           .withColumn("seg", F.row_number().over(w) - 1)
+           .drop("edge_key"))
+    shape_tokens = F.filter(
+        F.split(F.coalesce("shape_pts", F.lit("")), ";"),
+        lambda p: F.length(p) > 0)  # ANSI mode: never cast '' to double
+    shape_lons = F.transform(shape_tokens,
+                             lambda p: F.split(p, " ")[0].cast("double"))
+    shape_lats = F.transform(shape_tokens,
+                             lambda p: F.split(p, " ")[1].cast("double"))
+    all_lons = F.concat(F.array("v1_lon", "v2_lon"), shape_lons)
+    all_lats = F.concat(F.array("v1_lat", "v2_lat"), shape_lats)
+    return out.select(
+        "way_id", "seg", "v1_lon", "v1_lat", "v2_lon", "v2_lat", "shape_pts",
+        F.array_min(all_lons).alias("min_lon"),
+        F.array_min(all_lats).alias("min_lat"),
+        F.array_max(all_lons).alias("max_lon"),
+        F.array_max(all_lats).alias("max_lat"))
+
+
 def build_faces_from_ways(nodes: DataFrame, ways: DataFrame,
-                          max_ring: int = 4) -> DataFrame:
+                          max_ring: int = 4,
+                          planarize_crossings: bool = False) -> DataFrame:
     """End-to-end: barrier ways -> planar edges -> per-cell face polygons
     with content-addressed GUIDs, cross-cell dedup'd.
 
@@ -284,7 +322,10 @@ def build_faces_from_ways(nodes: DataFrame, ways: DataFrame,
     from .faces import extract_faces
 
     barriers = classify_barriers(ways)
-    edges = split_ways_to_edges(nodes, barriers).cache()
+    edges = split_ways_to_edges(nodes, barriers)
+    if planarize_crossings:
+        edges = planarize_edges(edges)
+    edges = edges.cache()
 
     results = []
     retry_anchors = None  # None = all anchors (round 1)
