@@ -9,7 +9,8 @@ cat = C.build_catalog()
 
 AUDIT = ["pip_assign", "knn_snap", "tile_assign", "q3_shipping", "q5_region",
          "minhash_lsh_pairs", "ngram_jaccard", "cell_halo", "media_meta",
-         "embedding_ivf", "asof_join"]
+         "embedding_ivf", "asof_join", "salted_agg", "tile_pyramid",
+         "global_topk", "landuse_rollup", "density_mvt"]
 out = ["""# Physical plan audit
 
 Generated from `.explain`/`executedPlan` at sf0.01 (regenerate with
