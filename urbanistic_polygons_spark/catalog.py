@@ -254,6 +254,59 @@ def q_knn_snap_spark(spark, sf_dir):
                     F.col("b.d2").alias("d2")))
 
 
+def q_overlap_area_spark(spark, sf_dir):
+    """J2 area-overlap join in oracle-exact integer form: rect pairs that
+    share a covering cell, refined to exact intersection AREA (the landuse
+    percentage numerator, Landuse/TiledBarrierGraphExtensions.cs:40-91).
+
+    Engine plan: explode both sides to covering cells, equi-join on
+    cell_id (broadcast one side), dedup pairs that meet in several cells
+    via groupBy, compute the exact integer overlap.  The oracle is the
+    O(n^2) theta join — identical output, different physical strategy."""
+    rects = _rects_df(spark, sf_dir)
+    a = _rect_cells(rects).select(
+        "cell_id", F.col("poly_id").alias("pa"),
+        F.col("x0").alias("ax0"), F.col("x1").alias("ax1"),
+        F.col("y0").alias("ay0"), F.col("y1").alias("ay1"))
+    b = _rect_cells(rects).select(
+        "cell_id", F.col("poly_id").alias("pb"),
+        F.col("x0").alias("bx0"), F.col("x1").alias("bx1"),
+        F.col("y0").alias("by0"), F.col("y1").alias("by1"),
+        F.col("cls").alias("cls_b"))
+    ow = (F.least("ax1", "bx1") - F.greatest("ax0", "bx0"))
+    oh = (F.least("ay1", "by1") - F.greatest("ay0", "by0"))
+    pairs = (a.join(F.broadcast(b), "cell_id")
+             .filter(F.col("pa") < F.col("pb"))
+             .filter((ow > 0) & (oh > 0))
+             .groupBy("pa", "pb", "cls_b")
+             .agg(F.first(ow * oh).alias("inter_area")))
+    return pairs.select(F.col("pa").alias("poly_a"),
+                        F.col("pb").alias("poly_b"),
+                        F.col("cls_b").alias("cls_b"),
+                        F.col("inter_area"))
+
+
+_OVERLAP_AREA_SQL = """
+WITH rects AS (
+  SELECT p_partkey AS poly_id,
+         (p_partkey * 7919) % 1850000 AS x0,
+         (p_partkey * 7907) % 1470000 AS y0,
+         (p_partkey * 7919) % 1850000 + 10000 + (p_partkey % 37) * 1000 AS x1,
+         (p_partkey * 7907) % 1470000 + 10000 + (p_partkey % 41) * 1000 AS y1,
+         CASE p_partkey % 6 WHEN 0 THEN 'residential' WHEN 1 THEN 'industrial'
+              WHEN 2 THEN 'water' WHEN 3 THEN 'rural' WHEN 4 THEN 'natural'
+              ELSE 'school' END AS cls
+  FROM part
+)
+SELECT a.poly_id AS poly_a, b.poly_id AS poly_b, b.cls AS cls_b,
+       (LEAST(a.x1, b.x1) - GREATEST(a.x0, b.x0))
+       * (LEAST(a.y1, b.y1) - GREATEST(a.y0, b.y0)) AS inter_area
+FROM rects a JOIN rects b ON a.poly_id < b.poly_id
+WHERE LEAST(a.x1, b.x1) > GREATEST(a.x0, b.x0)
+  AND LEAST(a.y1, b.y1) > GREATEST(a.y0, b.y0)
+"""
+
+
 def q_salted_agg_spark(spark, sf_dir):
     """Two-phase salted aggregation (north_rule skew pattern): hot cells
     are split across 8 salted partial-agg keys, then merged.  The oracle
@@ -1269,6 +1322,7 @@ FROM ranked WHERE rn = 1""", "duckdb"))
 
     df_q("tile_pyramid", q_tile_pyramid_spark, _TILE_PYRAMID_SQL)
     df_q("salted_agg", q_salted_agg_spark, _SALTED_AGG_SQL)
+    df_q("overlap_area", q_overlap_area_spark, _OVERLAP_AREA_SQL)
 
     df_q("cell_halo", q_cell_halo_spark, _render(f"""
 WITH {PTS},
