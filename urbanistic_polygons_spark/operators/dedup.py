@@ -195,32 +195,32 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     # re-expanding the whole shingle expression into an interpreted per-row
     # predicate (O(tokens^2) — measured 38s vs 1s at sf0.1).  Shingle arrays
     # are never null/empty here, so outer semantics are identical.
-    ex = base.select(id_col, "blk_lang", "blk_len",
+    ex = base.select(id_col, "blk_lang", "blk_len", "n_sh",
                      F.explode_outer("sh").alias("s"))
     # group-collect-pairs instead of a shingle-level self-join: one pass over
     # the shingle pipeline (the join would recompute it per side), one narrow
     # shuffle on the shingle key, then in-group pair generation from the
-    # sorted member array (same trick as minhash_lsh_pairs).
+    # sorted member array (same trick as minhash_lsh_pairs).  n_sh rides
+    # along in the member structs, so no count-joins afterwards (each would
+    # re-execute the whole shingle pipeline for its broadcast side).
     grouped = (ex.groupBy("blk_lang", "blk_len", "s")
-               .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+               .agg(F.array_sort(F.collect_list(
+                   F.struct(F.col(id_col).alias("id"),
+                            F.col("n_sh").alias("n")))).alias("ids"))
                .filter(F.size("ids") > 1))
     pairs = grouped.select(F.explode(F.flatten(F.transform(
         F.col("ids"),
         lambda x, i: F.transform(
             F.slice(F.col("ids"), i + F.lit(2),
                     F.greatest(F.size(F.col("ids")) - i - F.lit(1), F.lit(0))),
-            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")))))).alias("p"))
-    inter = (pairs.select("p.doc_a", "p.doc_b")
-             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter")))
-    # shingle-set sizes per doc: tiny (one row per doc) -> broadcast joins
-    counts = base.select(F.col(id_col), F.col("n_sh"))
+            lambda y: F.struct(x["id"].alias("doc_a"), x["n"].alias("n_a"),
+                               y["id"].alias("doc_b"), y["n"].alias("n_b")))))).alias("p"))
+    inter = (pairs.select("p.doc_a", "p.doc_b", "p.n_a", "p.n_b")
+             .groupBy("doc_a", "doc_b", "n_a", "n_b")
+             .agg(F.count("*").alias("inter")))
     t = threshold_permille
     return (
         inter
-        .join(F.broadcast(counts.select(F.col(id_col).alias("doc_a"),
-                                        F.col("n_sh").alias("n_a"))), "doc_a")
-        .join(F.broadcast(counts.select(F.col(id_col).alias("doc_b"),
-                                        F.col("n_sh").alias("n_b"))), "doc_b")
         .filter(F.lit(1000) * F.col("inter")
                 >= F.lit(t) * (F.col("n_a") + F.col("n_b") - F.col("inter")))
         .select("doc_a", "doc_b", "inter", "n_a", "n_b")
