@@ -111,6 +111,38 @@ def test_partition_invariance(data):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_knn_block_semantics(spark):
+    """Probe for the 3x3-block tier rule: an orphan whose OWN cell holds a
+    far polygon while the adjacent cell holds a nearer one must snap to
+    the nearer adjacent-cell polygon (the expand loop's first probe is
+    the whole 3x3 block keyed by distance, not own-cell-first)."""
+    from urbanistic_polygons_spark.operators.knn import knn_snap
+
+    tx, ty, n = 8300, 5447, 1 << 14
+    cell = ty * n + tx
+    lon0 = tx / n * 360.0 - 180.0          # west edge of the own cell
+    lon1 = (tx + 1) / n * 360.0 - 180.0    # east edge
+    lat_mid = 51.43                        # inside ty=5447 at z14
+
+    def square(cx, cy, s=1e-4):
+        pts = [(cx - s, cy - s), (cx + s, cy - s), (cx + s, cy + s),
+               (cx - s, cy + s), (cx - s, cy - s)]
+        return ";".join(f"{x} {y}" for x, y in pts)
+
+    orphan_lon = lon1 - 0.0005             # near the east edge
+    orphans = spark.createDataFrame(
+        [(7, 0, cell, orphan_lon, lat_mid)],
+        "doc_id long, span_idx int, cell_id long, lon double, lat double")
+    polys = spark.createDataFrame(
+        [("far-own", square(lon0 + 0.0005, lat_mid), [cell]),
+         ("near-adjacent", square(lon1 + 0.0005, lat_mid), [cell + 1])],
+        "polygon_guid string, ring string, cells array<long>")
+    got = knn_snap(orphans, polys).toPandas()
+    assert len(got) == 1
+    assert got.iloc[0].polygon_guid == "near-adjacent"
+    assert got.iloc[0].method == "knn"
+
+
 def test_pip_only_points_inside(data):
     _, polys_pdf, docs, polys = data
     pts = extract_geo_points(docs)

@@ -193,6 +193,25 @@ def q_bbox_agg_spark(spark, sf_dir):
     )
 
 
+def q_landuse_rollup_spark(spark, sf_dir):
+    """A1/A3 hierarchical rollup WITHOUT the oracle's theta join: the engine
+    plan is the candidate cell equi-join + refine (`_pip_hits`, broadcast
+    tiled index) feeding `rollup(cls, cell_y)` — Catalyst expands the
+    grouping sets in a single Expand+HashAggregate, no nested-loop join.
+    The O(points x rects) theta-join SQL remains oracle-only."""
+    base = _pip_hits(spark, sf_dir).select(
+        "cls", F.expr("cell_id DIV 16384").alias("cell_y"), "weight_cents")
+    return (
+        base.rollup("cls", "cell_y")
+        .agg(F.count("*").alias("n_points"),
+             F.sum("weight_cents").alias("sum_weight_cents"))
+        .select(
+            F.coalesce(F.col("cls"), F.lit("<all>")).alias("cls"),
+            F.coalesce(F.col("cell_y").cast("string"),
+                       F.lit("<all>")).alias("row_band"),
+            "n_points", "sum_weight_cents"))
+
+
 def q_knn_snap_spark(spark, sf_dir):
     """Orphan points snapped to nearest rect: ring distance (cell Chebyshev
     to the rect's covering-cell range) then integer squared distance to the
@@ -331,7 +350,8 @@ WITH pts AS (
   FROM orders
 )
 SELECT (py // 10000 + 5447) * 16384 + (px // 10000 + 8300) AS cell_id,
-       COUNT(*) AS n_points, SUM(weight_cents) AS sum_weight_cents
+       COUNT(*) AS n_points,
+       CAST(SUM(weight_cents) AS BIGINT) AS sum_weight_cents
 FROM pts GROUP BY 1
 """
 
@@ -369,7 +389,7 @@ WITH pts AS (
   FROM pts GROUP BY 1, 2, 3
 )
 SELECT (cy // 8) * 2048 + (cx // 8) AS parent,
-       COUNT(*) AS n_occupied_children, SUM(n) AS n_points
+       COUNT(*) AS n_occupied_children, CAST(SUM(n) AS BIGINT) AS n_points
 FROM c GROUP BY 1
 """
 
@@ -630,8 +650,8 @@ def q3_shipping_spark(spark, sf_dir):
 _Q3_SQL = """
 SELECT o_orderkey AS l_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
-       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
-         AS revenue_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+         AS BIGINT) AS revenue_cents,
        COUNT(*) AS n_lines
 FROM customer JOIN orders ON c_custkey = o_custkey
               JOIN lineitem ON l_orderkey = o_orderkey
@@ -672,8 +692,8 @@ def q5_region_spark(spark, sf_dir):
 
 _Q5_SQL = """
 SELECT n_name,
-       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
-         AS revenue_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+         AS BIGINT) AS revenue_cents,
        COUNT(*) AS n_lines
 FROM customer, orders, lineitem, supplier, nation, region
 WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -1235,7 +1255,7 @@ def build_catalog() -> dict[str, dict]:
     sql_q("cell_index", f"""
 WITH {PTS}
 SELECT cell_id, COUNT(*) AS n_points, MIN(px) AS min_px, MAX(px) AS max_px,
-       SUM(weight_cents) AS sum_weight_cents
+       CAST(SUM(weight_cents) AS BIGINT) AS sum_weight_cents
 FROM pts_cell GROUP BY cell_id""")
 
     sql_q("salted_prefix", f"""
@@ -1263,7 +1283,8 @@ g AS (
   SELECT *, gx - ROW_NUMBER() OVER (PARTITION BY gy ORDER BY gx) AS grp
   FROM f
 )
-SELECT gy, MIN(gx) AS x_start, MAX(gx) AS x_end, SUM(n) AS n_points
+SELECT gy, MIN(gx) AS x_start, MAX(gx) AS x_end,
+       CAST(SUM(n) AS BIGINT) AS n_points
 FROM m GROUP BY gy, grp""")
 
     df_q("pip_assign", q_pip_assign_spark, _render(f"""
@@ -1273,12 +1294,13 @@ FROM hits GROUP BY point_id, cell_id""", "duckdb"))
 
     df_q("bbox_join", q_bbox_join_spark, _render(f"""
 WITH {PTS}, {RECTS}, {PIP_JOIN}
-SELECT poly_id, COUNT(*) AS n_points, SUM(weight_cents) AS sum_weight_cents
+SELECT poly_id, COUNT(*) AS n_points,
+       CAST(SUM(weight_cents) AS BIGINT) AS sum_weight_cents
 FROM hits GROUP BY poly_id""", "duckdb"))
 
     df_q("landuse_agg", q_landuse_agg_spark, _render(f"""
 WITH {PTS}, {RECTS}, {PIP_JOIN}
-SELECT cell_id, cls, SUM(weight_cents) AS sum_weight_cents,
+SELECT cell_id, cls, CAST(SUM(weight_cents) AS BIGINT) AS sum_weight_cents,
        COUNT(*) AS n_points
 FROM hits GROUP BY cell_id, cls""", "duckdb"))
 
@@ -1328,7 +1350,7 @@ FROM ranked WHERE rn = 1""", "duckdb"))
 WITH {PTS},
 c AS (SELECT cell_x, cell_y, cell_id, COUNT(*) AS n
       FROM pts_cell GROUP BY 1, 2, 3)
-SELECT a.cell_id, SUM(b.n) AS halo_points
+SELECT a.cell_id, CAST(SUM(b.n) AS BIGINT) AS halo_points
 FROM c a JOIN c b
   ON ABS(a.cell_x - b.cell_x) <= 1 AND ABS(a.cell_y - b.cell_y) <= 1
 GROUP BY a.cell_id""", "duckdb"))
@@ -1337,9 +1359,10 @@ GROUP BY a.cell_id""", "duckdb"))
     sql_q("q1_pricing", """
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
-         AS sum_disc_cents
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_base_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+         AS BIGINT) AS sum_disc_cents
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus""")
@@ -1355,9 +1378,12 @@ SELECT p_brand, p_partkey, price_cents, rk FROM (
 
     sql_q("pivot_status", """
 SELECT o_orderpriority,
-       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-       SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_f,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_o,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_p
 FROM orders GROUP BY o_orderpriority""")
 
     sql_q("sessionize", """
@@ -1385,13 +1411,14 @@ SELECT point_id, px, py, weight_cents FROM pts
 ORDER BY weight_cents DESC, point_id
 LIMIT 100""")
 
-    sql_q("landuse_rollup", f"""
+    df_q("landuse_rollup", q_landuse_rollup_spark, _render(f"""
 WITH {PTS}, {RECTS}, {PIP_JOIN}
 SELECT COALESCE(cls, '<all>') AS cls,
        COALESCE(CAST(cell_y AS STRING), '<all>') AS row_band,
-       COUNT(*) AS n_points, SUM(weight_cents) AS sum_weight_cents
+       COUNT(*) AS n_points,
+       CAST(SUM(weight_cents) AS BIGINT) AS sum_weight_cents
 FROM (SELECT cls, cell_id {{D}} 16384 AS cell_y, weight_cents FROM hits)
-GROUP BY GROUPING SETS ((cls, cell_y), (cls), ())""")
+GROUP BY GROUPING SETS ((cls, cell_y), (cls), ())""", "duckdb"))
 
     sql_q("dedup_keeper", """
 SELECT o_custkey, o_orderstatus, MIN(o_orderkey) AS keeper, COUNT(*) AS n

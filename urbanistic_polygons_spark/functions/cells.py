@@ -112,8 +112,10 @@ def neighbor_cells_ringed(cell: Column, max_ring: int = 3,
     ``cell``, each neighbor tagged with its Chebyshev ring distance.
 
     Powers the SINGLE-PASS kNN snap: exploding all rings at once and
-    taking min (ring, dist, guid) is semantically identical to the
-    reference-style expand-until-found loop (first non-empty ring wins),
+    taking min (tier, dist, guid) — where the consumer maps ring 0 and 1
+    to one tier, because the expand-until-found loop's first probe is the
+    whole 3x3 block — is semantically identical to the reference-style
+    expand-until-found loop (first non-empty block wins),
     but builds ONE join instead of an iterative plan whose anti-join
     chain re-executes the whole upstream pipeline per ring (measured: the
     flagship entry() plan dropped from 118 exchanges to a handful)."""

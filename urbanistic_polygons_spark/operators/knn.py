@@ -60,11 +60,13 @@ def knn_snap(orphans: DataFrame, polygons: DataFrame, k: int = 1,
 
     pts = orphans.select("doc_id", "span_idx", "cell_id", "lon", "lat")
     # SINGLE PASS over all rings: explode the ring-tagged halo once and
-    # take min (ring, dist, guid).  Identical semantics to the
-    # expand-until-found loop (candidates from a smaller ring always win;
-    # within the winning ring, nearest centroid, guid tie-break), but ONE
-    # broadcast join — an iterative anti-join loop re-executes the entire
-    # upstream pipeline per ring (the flagship plan had 118 exchanges).
+    # take min (tier, dist, guid).  The expand-until-found loop's FIRST
+    # iteration is the whole 3x3 block (own cell + ring 1) keyed by
+    # distance only, so tier = max(1, chebyshev_ring) — a nearer centroid
+    # in an adjacent cell beats a farther one in the own cell.  Identical
+    # semantics to the loop, but ONE broadcast join — an iterative
+    # anti-join loop re-executes the entire upstream pipeline per ring
+    # (the flagship plan had 118 exchanges).
     halo = pts.select(
         "doc_id", "span_idx", "cell_id", "lon", "lat",
         F.explode(C.neighbor_cells_ringed(F.col("cell_id"),
@@ -80,7 +82,8 @@ def knn_snap(orphans: DataFrame, polygons: DataFrame, k: int = 1,
     best = (
         scored
         .withColumn("dist_key",
-                    F.struct(F.col("h.ring").alias("r"),
+                    F.struct(F.greatest(F.lit(1),
+                                        F.col("h.ring")).alias("r"),
                              F.round("dist_m", 6).alias("d"),
                              F.col("polygon_guid").alias("g")))
         .groupBy("doc_id", "span_idx", "cell_id", "lon", "lat")

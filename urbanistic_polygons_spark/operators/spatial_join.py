@@ -70,6 +70,10 @@ def pip_udf(ring: pd.Series, px: pd.Series, py: pd.Series) -> pd.Series:
     Rows are grouped by ring string so each ring parses once per batch and
     all its points test in one NumPy call (reference PointInPolygon.cs:27-87
     semantics, W->E ray, even-odd rule).
+
+    Null-safe: ``pd.factorize`` maps null rings to code -1 (excluded from
+    uniques), so rows from an unmatched LEFT join return False — the
+    single-pass ``assign_documents`` path depends on this.
     """
     out = np.zeros(len(ring), dtype=bool)
     if len(ring) == 0:
@@ -122,13 +126,37 @@ def assign_documents(documents: DataFrame, polygons: DataFrame,
                      knn_rings: int = 3) -> DataFrame:
     """Full flagship pipeline: extract -> candidate join -> PIP -> kNN snap
     for orphans.  Returns (doc_id, span_idx, cell_id, polygon_guid, method);
-    method in ('pip', 'knn', 'none')."""
+    method in ('pip', 'knn', 'none').
+
+    Single-pass: one LEFT broadcast join with the bbox prefilter in the
+    join condition (JVM-side), PIP refine inside the per-point min
+    aggregation, and the tiny per-point result localCheckpointed so the
+    pip/orphan branches both read the materialized result instead of
+    re-executing the candidate-join + Arrow-PIP subtree (broadcast joins
+    end in no exchange, so ReuseExchange can never dedupe them — the
+    round-1 plan ran the PIP pipeline twice)."""
     from .knn import knn_snap  # local import to avoid cycle
 
     points = extract_geo_points(documents)
-    pip = assign_points(points, polygons)
-    orphans = points.join(
-        pip.select("doc_id", "span_idx"), ["doc_id", "span_idx"], "left_anti")
+    index = (explode_polygon_cells(polygons)
+             .withColumnRenamed("cell_id", "i_cell"))
+    cand = points.join(
+        F.broadcast(index),
+        (F.col("cell_id") == F.col("i_cell"))
+        & (F.col("lon") >= F.col("min_lon")) & (F.col("lon") <= F.col("max_lon"))
+        & (F.col("lat") >= F.col("min_lat")) & (F.col("lat") <= F.col("max_lat")),
+        "left")
+    # exact refine: unmatched left rows carry a null ring -> pip_udf False
+    hit = F.when(pip_udf(F.col("ring"), F.col("lon"), F.col("lat")),
+                 F.col("polygon_guid"))
+    per_point = (
+        cand.withColumn("g", hit)
+        .groupBy("doc_id", "span_idx", "cell_id", "lon", "lat")
+        .agg(F.min("g").alias("polygon_guid"))
+        .localCheckpoint(eager=False))
+    pip = (per_point.filter(F.col("polygon_guid").isNotNull())
+           .withColumn("method", F.lit("pip")))
+    orphans = per_point.filter(F.col("polygon_guid").isNull()).drop("polygon_guid")
     snapped = knn_snap(orphans, polygons, max_ring=knn_rings)
     out_cols = ["doc_id", "span_idx", "cell_id", "lon", "lat",
                 "polygon_guid", "method"]
