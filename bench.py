@@ -28,7 +28,8 @@ HEADLINE = [
     "q3_shipping", "q5_region", "asof_join",
     # training-data ops
     "simhash", "minhash_lsh_pairs", "ngram_jaccard",
-    "embedding_topk", "embedding_ivf", "fingerprint", "exact_dedup_docs",
+    "embedding_topk", "embedding_ivf", "embedding_near_dup",
+    "fingerprint", "exact_dedup_docs",
     # multimodal binary columns
     "media_meta", "media_features",
     # interleaved spans synthesis

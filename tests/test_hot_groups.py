@@ -1,0 +1,82 @@
+"""Hot-group caps in pair-generation dedup: a boilerplate shingle or an
+n-times-duplicated document must not produce an O(m^2) pair explosion —
+oversized groups are dropped, and the drop is observable (never silent)."""
+
+from pyspark.sql import Observation
+
+from urbanistic_polygons_spark.operators.dedup import (
+    minhash_lsh_pairs, ngram_jaccard_pairs,
+)
+from urbanistic_polygons_spark.operators.similarity import embedding_near_dup
+
+BOILER = "all rights reserved copyright notice follows here"
+
+
+def _docs(spark, n=40):
+    # every doc shares the BOILER prefix (hot shingles, df = n); the tail
+    # makes each doc distinct so full-signature buckets stay small
+    rows = [(i, f"{BOILER} unique tail {i} alpha beta gamma delta", "en")
+            for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_ngram_jaccard_hot_shingle_capped(spark):
+    docs = _docs(spark)
+    obs = Observation("jac")
+    pairs = ngram_jaccard_pairs(docs, threshold_permille=100,
+                                max_group=8, observation=obs)
+    n_pairs = pairs.count()
+    got = obs.get
+    assert got["dropped_groups"] > 0          # the boiler shingles
+    assert got["dropped_members"] >= got["dropped_groups"] * 9
+    # without the boiler shingles no pair reaches 10% Jaccard
+    assert n_pairs == 0
+
+
+def test_ngram_jaccard_uncapped_differs(spark):
+    docs = _docs(spark)
+    capped = ngram_jaccard_pairs(docs, threshold_permille=100,
+                                 max_group=8).count()
+    uncapped = ngram_jaccard_pairs(docs, threshold_permille=100,
+                                   max_group=10_000).count()
+    assert uncapped > capped  # the cap really dropped hot groups
+
+
+def test_minhash_lsh_hot_bucket_capped(spark):
+    # 30 byte-identical docs -> identical signatures -> every band bucket
+    # holds all 30 members
+    rows = [(i, "same exact duplicated text body here ok", "en")
+            for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    obs = Observation("lsh")
+    pairs = minhash_lsh_pairs(docs, k=16, bands=8, max_group=8,
+                              observation=obs)
+    assert pairs.count() == 0                 # all buckets over the cap
+    got = obs.get
+    assert got["dropped_groups"] == 8         # one per band
+    assert got["dropped_members"] == 8 * 30
+
+
+def test_embedding_near_dup_hot_bucket_capped(spark):
+    # identical vectors all land in one bucket
+    rows = [(i, [0.5, -0.25, 0.125, 1.0]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    obs = Observation("emb")
+    pairs = embedding_near_dup(emb, n_planes=4, max_bucket=8,
+                               observation=obs)
+    assert pairs.count() == 0
+    got = obs.get
+    assert got["dropped_buckets"] == 1
+    assert got["dropped_members"] == 20
+
+
+def test_embedding_near_dup_pairs_found(spark):
+    # two identical + distinct others: the identical pair must surface with
+    # the exact integer self-dot
+    vecs = [(0, [0.5, 0.5, 0.5, 0.5]), (1, [0.5, 0.5, 0.5, 0.5]),
+            (2, [-1.0, 0.3, -0.2, 0.9]), (3, [0.1, -0.8, 0.7, -0.3])]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    pairs = embedding_near_dup(emb, n_planes=2, min_dot=0).toPandas()
+    match = pairs[(pairs.id_a == 0) & (pairs.id_b == 1)]
+    assert len(match) == 1
+    assert int(match.iloc[0]["dot"]) == 4 * 500 * 500

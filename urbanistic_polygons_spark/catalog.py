@@ -519,6 +519,48 @@ def q_embedding_ivf_spark(spark, sf_dir):
                     k=5, n_lists=16, nprobe=4)
 
 
+def q_embedding_near_dup_spark(spark, sf_dir):
+    from .operators.similarity import embedding_near_dup
+    register_views(spark, sf_dir)
+    return embedding_near_dup(spark.table("embeddings"),
+                              n_planes=6, min_dot=0, max_bucket=256)
+
+
+def _emb_near_dup_sql(n_planes: int = 6, min_dot: int = 0,
+                      max_bucket: int = 256, seed: int = 7) -> str:
+    """Oracle for embedding_near_dup: integer LSH bucket (sign bits of
+    exact int64 +-q_i sums, same coefficient pattern as
+    similarity.lsh_bucket_int), hot-bucket cap, in-bucket pairs, exact
+    integer dot threshold."""
+    terms = " + ".join(
+        f"""(CASE WHEN list_sum(list_transform(range(0, CAST(len(v) AS BIGINT)),
+      i -> CASE WHEN ((i * {2654435761 + p * 40503} + {seed}) & 64) = 0
+                THEN v[i+1] ELSE -v[i+1] END)) > 0
+      THEN {1 << p} ELSE 0 END)"""
+        for p in range(n_planes))
+    return f"""
+WITH b AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+  FROM embeddings
+), bk AS (
+  SELECT vec_id, v, CAST({terms} AS BIGINT) AS bucket FROM b
+), bc AS (
+  SELECT bucket FROM bk GROUP BY bucket
+  HAVING COUNT(*) BETWEEN 2 AND {max_bucket}
+), pairs AS (
+  SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+         CAST(list_sum(list_transform(range(1, CAST(len(l.v) + 1 AS BIGINT)),
+           i -> l.v[i] * r.v[i])) AS BIGINT) AS dot
+  FROM bk l JOIN bk r ON l.bucket = r.bucket
+  JOIN bc ON l.bucket = bc.bucket
+  WHERE l.vec_id < r.vec_id
+)
+SELECT id_a, id_b, dot FROM pairs WHERE dot > {min_dot}
+"""
+
+
 # IVF is all integer arithmetic (quantized vectors, integer L2 argmin with
 # list-id tie-break, floored-mean Lloyd refinement) -> exact oracle
 _EMB_IVF_SQL = """
@@ -1069,7 +1111,8 @@ SELECT doc_id, {aggs} FROM h GROUP BY doc_id
 """
 
 
-def _minhash_lsh_sql(k: int = 16, bands: int = 8) -> str:
+def _minhash_lsh_sql(k: int = 16, bands: int = 8,
+                     max_group: int = 256) -> str:
     from .operators.dedup import minhash_params
     params = minhash_params(k)
     rows = k // bands
@@ -1082,6 +1125,8 @@ def _minhash_lsh_sql(k: int = 16, bands: int = 8) -> str:
             f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows))
         + " AS bucket FROM sig"
         for b in range(bands))
+    # bc: the hot-bucket document-frequency cap mirrored from
+    # minhash_lsh_pairs (buckets with > max_group members are dropped)
     return f"""
 WITH aug AS (
   SELECT doc_id, text FROM documents
@@ -1096,9 +1141,14 @@ WITH aug AS (
   SELECT doc_id, {_H31.format(x='s')} AS h FROM sh
 ), sig AS (
   SELECT doc_id, {aggs} FROM h GROUP BY doc_id
-), buckets AS ({band_rows})
+), buckets AS ({band_rows}
+), bc AS (
+  SELECT band, bucket FROM buckets
+  GROUP BY band, bucket HAVING COUNT(*) <= {max_group}
+)
 SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
 FROM buckets l JOIN buckets r ON l.band = r.band AND l.bucket = r.bucket
+JOIN bc ON l.band = bc.band AND l.bucket = bc.bucket
 WHERE l.doc_id < r.doc_id
 """
 
@@ -1120,11 +1170,18 @@ WITH aug AS (
   FROM base
 ), ex AS (
   SELECT DISTINCT doc_id, blk_lang, blk_len, n_sh, unnest(sh) AS s FROM withn
+), keep AS (
+  -- hot-shingle document-frequency cap mirrored from ngram_jaccard_pairs:
+  -- shingle groups with > 256 member docs are dropped from intersection
+  SELECT blk_lang, blk_len, s FROM ex
+  GROUP BY blk_lang, blk_len, s HAVING COUNT(*) <= 256
 ), inter AS (
   SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, l.n_sh AS n_a, r.n_sh AS n_b,
          COUNT(*) AS inter
   FROM ex l JOIN ex r
     ON l.blk_lang = r.blk_lang AND l.blk_len = r.blk_len AND l.s = r.s
+  JOIN keep k
+    ON k.blk_lang = l.blk_lang AND k.blk_len = l.blk_len AND k.s = l.s
   WHERE l.doc_id < r.doc_id
   GROUP BY 1, 2, 3, 4
 )
@@ -1444,6 +1501,9 @@ FROM orders GROUP BY o_custkey, o_orderstatus""")
     df_q("embedding_ann", q_embedding_ann_spark, None)
     # IVF-ANN: integer quantizer + floored-mean Lloyd step -> exact oracle
     df_q("embedding_ivf", q_embedding_ivf_spark, _EMB_IVF_SQL)
+    # near-dup: integer LSH bucket + capped in-bucket pairs -> exact oracle
+    df_q("embedding_near_dup", q_embedding_near_dup_spark,
+         _emb_near_dup_sql())
 
     # -- interleaved spans synthesis (input_hint shape) ----------------------
     df_q("spans_explode", q_spans_spark, _SPANS_SQL)

@@ -43,6 +43,28 @@ def minhash_params(k: int) -> list[tuple[int, int]]:
     return params
 
 
+def ensure_metrics_survive(df: DataFrame) -> None:
+    """Keep drop counters reliable: AQE's empty-relation propagation prunes
+    CollectMetrics nodes when a downstream shuffle stage turns out empty at
+    runtime (measured on Spark 4.1 — ``Observation.get`` hangs with an empty
+    row), i.e. the lineage counters would vanish exactly when EVERY group
+    was dropped.  Excluding the rule only disables an empty-input
+    short-circuit; applied to the session only when a caller attaches an
+    observation."""
+    spark = df.sparkSession
+    key = "spark.sql.adaptive.optimizer.excludedRules"
+    rule = ("org.apache.spark.sql.execution.adaptive."
+            "AQEPropagateEmptyRelation")
+    try:
+        cur = spark.conf.get(key)
+    except Exception:
+        cur = None
+    if not cur:
+        spark.conf.set(key, rule)
+    elif rule not in cur:
+        spark.conf.set(key, cur + "," + rule)
+
+
 def normalize(text_col):
     return F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " "))
 
@@ -113,12 +135,20 @@ def minhash_signature(docs: DataFrame, id_col: str = "doc_id",
 
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", k: int = 16,
-                      bands: int = 4) -> DataFrame:
+                      bands: int = 4, max_group: int = 256,
+                      observation=None) -> DataFrame:
     """Candidate near-dup pairs via banded LSH: docs sharing any band bucket.
 
     Output: (doc_a, doc_b) with doc_a < doc_b, distinct.  The band bucket is
     the concatenated band signature — a pure shuffle key, so the self-join
     is an equi-join on (band, bucket), never a cross join.
+
+    Hot-bucket cap: a bucket with more than ``max_group`` members (an
+    n-times-duplicated boilerplate document at 100 TB) would emit O(m^2)
+    pairs and blow up one task; such buckets are dropped, and the drops are
+    counted through ``observation`` (pyspark Observation: dropped_groups,
+    dropped_members) so the truncation is never silent.  The DuckDB oracle
+    applies the identical document-frequency cap.
     """
     rows_per_band = k // bands
     sig = minhash_signature(docs, id_col, text_col, k)
@@ -140,6 +170,15 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     grouped = (buckets.groupBy("band", "bucket")
                .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
                .filter(F.size("ids") > 1))
+    if observation is not None:
+        ensure_metrics_survive(grouped)
+        grouped = grouped.observe(
+            observation,
+            F.sum((F.size("ids") > max_group).cast("long"))
+            .alias("dropped_groups"),
+            F.sum(F.when(F.size("ids") > max_group, F.size("ids"))
+                  .otherwise(0)).alias("dropped_members"))
+    grouped = grouped.filter(F.size("ids") <= max_group)
     pairs = grouped.select(F.explode(F.flatten(F.transform(
         F.col("ids"),
         lambda x, i: F.transform(
@@ -173,12 +212,21 @@ def simhash(docs: DataFrame, id_col: str = "doc_id",
 
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", lang_col: str = "lang",
-                        threshold_permille: int = 500) -> DataFrame:
+                        threshold_permille: int = 500,
+                        max_group: int = 256,
+                        observation=None) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard within (lang, length-bucket)
     blocks: explode distinct shingles, equi-join on shingle+block, count
     intersections, integer-compare 1000*|I| >= t*(|A|+|B|-|I|).
 
     Output: (doc_a, doc_b, inter, n_a, n_b) — all integers, oracle-exact.
+
+    Hot-shingle cap (standard document-frequency cut in production
+    near-dedup): a boilerplate shingle shared by more than ``max_group``
+    docs in a block would emit O(m^2) pairs; such shingle groups are
+    dropped from intersection counting (Jaccard denominators n_a/n_b are
+    unaffected), counted through ``observation`` (dropped_groups,
+    dropped_members).  The DuckDB oracle applies the identical cap.
     """
     tok = docs.select(
         F.col(id_col),
@@ -208,6 +256,15 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                    F.struct(F.col(id_col).alias("id"),
                             F.col("n_sh").alias("n")))).alias("ids"))
                .filter(F.size("ids") > 1))
+    if observation is not None:
+        ensure_metrics_survive(grouped)
+        grouped = grouped.observe(
+            observation,
+            F.sum((F.size("ids") > max_group).cast("long"))
+            .alias("dropped_groups"),
+            F.sum(F.when(F.size("ids") > max_group, F.size("ids"))
+                  .otherwise(0)).alias("dropped_members"))
+    grouped = grouped.filter(F.size("ids") <= max_group)
     pairs = grouped.select(F.explode(F.flatten(F.transform(
         F.col("ids"),
         lambda x, i: F.transform(

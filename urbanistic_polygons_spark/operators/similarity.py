@@ -200,23 +200,76 @@ def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
             .select("query_id", "neighbor_id", "dot", "rank"))
 
 
+def lsh_bucket_int(qcol, n_planes: int = 8, seed: int = 7):
+    """Random-hyperplane LSH bucket over the QUANTIZED integer vector:
+    sign bits of exact int64 sums of +-q_i — bit-identical in any engine
+    (no float summation anywhere), so near-dup results are oracle-exact.
+    Same deterministic +-1 coefficient pattern as :func:`lsh_bucket`."""
+    bucket = None
+    for p in range(n_planes):
+        s = F.aggregate(
+            F.zip_with(
+                qcol,
+                F.sequence(F.lit(0), F.size(qcol) - 1),
+                lambda x, i: F.when(
+                    ((i * F.lit(2654435761 + p * 40503) + F.lit(seed))
+                     .bitwiseAND(F.lit(64))) == 0, x).otherwise(-x),
+            ),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+        bit = F.when(s > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("long")
+
+
 def embedding_near_dup(embeddings: DataFrame, id_col: str = "vec_id",
                        vec_col: str = "embedding",
-                       n_planes: int = 10, min_dot: int = 0) -> DataFrame:
-    """Embedding-cosine near-duplicate candidates: pairs sharing an LSH
-    bucket with integer dot above threshold.  (doc pairs, exact integer
-    score; bucket blocking keeps it linear.)"""
+                       n_planes: int = 6, min_dot: int = 0,
+                       max_bucket: int = 256,
+                       observation=None) -> DataFrame:
+    """Embedding-cosine near-duplicate candidates: pairs sharing an integer
+    LSH bucket with exact integer dot above threshold.
+
+    Plan shape: ONE pass over the quantize+LSH pipeline — group-collect the
+    (id, q) members per bucket and enumerate in-bucket pairs from the
+    sorted member array (the minhash_lsh_pairs pattern; a bucketed
+    self-join recomputes the whole quantize+LSH subtree per side).
+
+    Hot-bucket cap: buckets with more than ``max_bucket`` members are
+    DROPPED (a degenerate bucket — e.g. the all-zeros region — would emit
+    O(m^2) pairs and OOM one task at 100 TB).  Dropped buckets are counted
+    through ``observation`` (pyspark Observation: dropped_buckets,
+    dropped_members) so the truncation is never silent; the DuckDB oracle
+    applies the identical cap.
+    """
     base = embeddings.select(
         F.col(id_col),
         quantized(F.col(vec_col)).alias("q"),
-        lsh_bucket(F.col(vec_col), n_planes).alias("bucket"),
-    )
-    l, r = base.alias("l"), base.alias("r")
-    return (
-        l.join(r, "bucket")
-        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .select(F.col(f"l.{id_col}").alias("id_a"),
-                F.col(f"r.{id_col}").alias("id_b"),
-                int_dot(F.col("l.q"), F.col("r.q")).alias("dot"))
-        .filter(F.col("dot") > min_dot)
-    )
+    ).withColumn("bucket", lsh_bucket_int(F.col("q"), n_planes))
+    grouped = (base.groupBy("bucket")
+               .agg(F.array_sort(F.collect_list(
+                   F.struct(F.col(id_col).alias("id"),
+                            F.col("q").alias("q")))).alias("ms"))
+               .filter(F.size("ms") > 1))
+    if observation is not None:
+        from .dedup import ensure_metrics_survive
+        ensure_metrics_survive(grouped)
+        grouped = grouped.observe(
+            observation,
+            F.sum((F.size("ms") > max_bucket).cast("long"))
+            .alias("dropped_buckets"),
+            F.sum(F.when(F.size("ms") > max_bucket, F.size("ms"))
+                  .otherwise(0)).alias("dropped_members"))
+    kept = grouped.filter(F.size("ms") <= max_bucket)
+    pairs = kept.select(F.explode(F.flatten(F.transform(
+        F.col("ms"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ms"), i + F.lit(2),
+                    F.greatest(F.size(F.col("ms")) - i - F.lit(1), F.lit(0))),
+            lambda y: F.struct(x["id"].alias("id_a"), x["q"].alias("qa"),
+                               y["id"].alias("id_b"), y["q"].alias("qb")))))
+    ).alias("p"))
+    return (pairs
+            .select(F.col("p.id_a").alias("id_a"),
+                    F.col("p.id_b").alias("id_b"),
+                    int_dot(F.col("p.qa"), F.col("p.qb")).alias("dot"))
+            .filter(F.col("dot") > min_dot))
