@@ -81,12 +81,12 @@ levels in separate JVMs.  Identical outputs at both levels
 
 **Scaling efficiency (N -> 4N): {eff:.3f}** (north_rule threshold: >= 0.8 -> {"PASS" if eff >= 0.8 else "FAIL"})
 
-## Why local[2] vs local[8] stands in for N vs 4N executors
+## Why local[{n}] vs local[{4 * n}] stands in for N vs 4N executors
 
 This sandbox is one VM exposing 32 vCPUs with ~22 effective cores (a
 pure-CPU 32-process probe runs each process 1.48x slower than an 8-process
 probe), and a single local-mode JVM degrades sharply past ~16 runnable
-threads (task threads + GC + python workers).  local[2] vs local[8] keeps
+threads (task threads + GC + python workers).  local[{n}] vs local[{4 * n}] keeps
 both levels far below the capacity ceiling, so the ratio measures the JOB's
 scalability, not the box's.  On a real cluster the same comparison is N vs
 4N executors with fixed per-executor cores; the job's stages are all

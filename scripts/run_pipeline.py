@@ -80,9 +80,10 @@ def main() -> None:
     pts = run_stage("ingest", pts, "cell_prefix")
 
     # stage 2: assign — full flagship (PIP + kNN) against the broadcast
-    # polygon index
+    # polygon index, consuming the CHECKPOINTED stage-1 points so a resume
+    # after a kill skips the ingest work entirely
     polygons = datagen.polygons_df(spark, 300, seed=43)
-    assigned = assign_documents(docs, polygons).withColumn(
+    assigned = assign_documents(docs, polygons, points=pts).withColumn(
         "cell_prefix", F.shiftright("cell_id", 8))
     assigned = run_stage("assign", assigned, "cell_prefix")
 

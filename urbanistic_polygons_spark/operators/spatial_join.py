@@ -123,7 +123,8 @@ def assign_points(points: DataFrame, polygons: DataFrame) -> DataFrame:
 
 
 def assign_documents(documents: DataFrame, polygons: DataFrame,
-                     knn_rings: int = 3) -> DataFrame:
+                     knn_rings: int = 3,
+                     points: DataFrame | None = None) -> DataFrame:
     """Full flagship pipeline: extract -> candidate join -> PIP -> kNN snap
     for orphans.  Returns (doc_id, span_idx, cell_id, polygon_guid, method);
     method in ('pip', 'knn', 'none').
@@ -134,10 +135,17 @@ def assign_documents(documents: DataFrame, polygons: DataFrame,
     pip/orphan branches both read the materialized result instead of
     re-executing the candidate-join + Arrow-PIP subtree (broadcast joins
     end in no exchange, so ReuseExchange can never dedupe them — the
-    round-1 plan ran the PIP pipeline twice)."""
+    round-1 plan ran the PIP pipeline twice).
+
+    ``points`` lets a staged pipeline feed an already-checkpointed
+    (doc_id, span_idx, lon, lat, cell_id) table so resume skips the
+    extract stage; by default points derive from ``documents``."""
     from .knn import knn_snap  # local import to avoid cycle
 
-    points = extract_geo_points(documents)
+    if points is None:
+        points = extract_geo_points(documents)
+    else:
+        points = points.select("doc_id", "span_idx", "lon", "lat", "cell_id")
     index = (explode_polygon_cells(polygons)
              .withColumnRenamed("cell_id", "i_cell"))
     cand = points.join(

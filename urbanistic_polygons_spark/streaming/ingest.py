@@ -86,7 +86,9 @@ def streaming_exact_dedup(docs: DataFrame,
             if len(pdf):
                 n_seen += len(pdf)
                 m = pdf["doc_id"].min()
-                if first_doc is None:
+                # accumulate across ALL chunks of this trigger — a smaller
+                # doc_id can arrive in a later Arrow chunk
+                if newly_seen and (first_doc is None or m < first_doc):
                     first_doc = m
         state.update((first_doc, n_seen))
         if newly_seen and first_doc is not None:
