@@ -395,6 +395,83 @@ def polygon_area(x: np.ndarray, y: np.ndarray) -> float:
     return abs(signed_area(x, y))
 
 
+def triangulate_ear(x: np.ndarray, y: np.ndarray) -> list[tuple[int, int, int]]:
+    """Ear-clipping triangulation of a simple polygon (any orientation).
+
+    Returns vertex-index triples that partition the polygon.  O(n^2) —
+    landuse/face rings are tens of vertices, and the call sits inside an
+    Arrow batch kernel with per-ring caching, so this is never hot.
+    """
+    n = len(x)
+    if n < 3:
+        return []
+    xs = np.asarray(x, np.float64)
+    ys = np.asarray(y, np.float64)
+    if signed_area(xs, ys) < 0:  # normalize to CCW
+        order = list(range(n - 1, -1, -1))
+    else:
+        order = list(range(n))
+    tris: list[tuple[int, int, int]] = []
+
+    def cross(i, j, k):
+        return ((xs[j] - xs[i]) * (ys[k] - ys[i])
+                - (ys[j] - ys[i]) * (xs[k] - xs[i]))
+
+    def point_in_tri(p, i, j, k):
+        d1 = cross_pt(p, i, j)
+        d2 = cross_pt(p, j, k)
+        d3 = cross_pt(p, k, i)
+        return (d1 >= 0) and (d2 >= 0) and (d3 >= 0)
+
+    def cross_pt(p, i, j):
+        return ((xs[j] - xs[i]) * (ys[p] - ys[i])
+                - (ys[j] - ys[i]) * (xs[p] - xs[i]))
+
+    guard = 0
+    while len(order) > 3 and guard < 4 * n * n:
+        guard += 1
+        m = len(order)
+        clipped = False
+        for t in range(m):
+            i, j, k = order[(t - 1) % m], order[t], order[(t + 1) % m]
+            if cross(i, j, k) <= 0:  # reflex or collinear — not an ear
+                continue
+            if any(point_in_tri(p, i, j, k)
+                   for p in order if p not in (i, j, k)):
+                continue
+            tris.append((i, j, k))
+            order.pop(t)
+            clipped = True
+            break
+        if not clipped:  # degenerate ring (collinear runs): drop a vertex
+            order.pop(0)
+    if len(order) == 3:
+        tris.append(tuple(order))
+    return tris
+
+
+def polygon_intersection_area(subject_x: np.ndarray, subject_y: np.ndarray,
+                              clip_x: np.ndarray, clip_y: np.ndarray) -> float:
+    """Exact |subject ∩ clip| for SIMPLE polygons, both possibly CONCAVE.
+
+    General replacement for the reference's NTS ``Intersection().Area``
+    (Landuse/TiledBarrierGraphExtensions.cs:58-72): ear-clip the clip ring
+    into triangles (a partition — disjoint interiors), Sutherland–Hodgman
+    the subject against each convex triangle, sum the piece areas.
+    Sutherland–Hodgman on a concave subject can emit coincident connector
+    edges, but those cancel in the shoelace sum, so the area is exact.
+    """
+    cx = np.asarray(clip_x, np.float64)
+    cy = np.asarray(clip_y, np.float64)
+    total = 0.0
+    for (i, j, k) in triangulate_ear(cx, cy):
+        tx = cx[[i, j, k]]
+        ty = cy[[i, j, k]]
+        ix, iy = clip_polygon_convex(subject_x, subject_y, tx, ty)
+        total += polygon_area(ix, iy)
+    return total
+
+
 def bbox_overlaps(aminx, aminy, amaxx, amaxy, bminx, bminy, bmaxx, bmaxy,
                   eps: float = 1e-8) -> np.ndarray:
     """Box-overlap with the reference's epsilon (Geo/GeoExtensions.cs:666-684)."""

@@ -8,8 +8,9 @@ Spark plan shape:
    polygon index, the small side per north_rule), pair-dedup'd;
 3. bbox prefilter JVM-side (the reference's EnvelopeInternal.Intersects);
 4. exact overlap ratio in one Arrow-batched pandas UDF using the pure-NumPy
-   convex clipper (covers fast paths replicated: full-cover -> 1.0,
-   contained -> area ratio — reference :47-56);
+   GENERAL intersection kernel (ear-clip triangulation + per-triangle
+   Sutherland-Hodgman — handles concave x concave, matching the
+   reference's NTS Intersection().Area);
 5. groupBy(face).sum per landuse type (A1, map-side partial agg) and a
    window argmax for the dominant type (A2, TileController.cs:91-117).
 
@@ -54,14 +55,14 @@ def overlap_ratio_udf(face_ring: pd.Series, lu_ring: pd.Series) -> pd.Series:
         fa = kernels.polygon_area(f[:, 0], f[:, 1])
         if fa <= 0:
             continue
-        # covers fast paths (reference :47-56): all face vertices inside
-        # landuse -> full cover (convex landuse); all landuse vertices
-        # inside face + face convex-ish -> area ratio
-        if kernels.points_in_polygon(f[:, 0], f[:, 1], l[:, 0], l[:, 1]).all():
-            out[i] = 1.0
-            continue
-        ix, iy = kernels.clip_polygon_convex(f[:, 0], f[:, 1], l[:, 0], l[:, 1])
-        out[i] = kernels.polygon_area(ix, iy) / fa
+        # exact general intersection (concave x concave): ear-clip the
+        # landuse ring, Sutherland-Hodgman per triangle, sum — replaces the
+        # convex-only path that silently under/over-counted concave landuse
+        # (reference NTS Intersection().Area semantics,
+        # Landuse/TiledBarrierGraphExtensions.cs:58-72)
+        inter = kernels.polygon_intersection_area(
+            f[:, 0], f[:, 1], l[:, 0], l[:, 1])
+        out[i] = min(inter / fa, 1.0)
     return pd.Series(out)
 
 
