@@ -59,6 +59,32 @@ def test_different_ways_not_merged(spark):
     assert prune_shape_points(e).count() == 2
 
 
+def test_cross_way_equal_tags_merge(spark):
+    # degree-2 vertex shared by two WAYS with IDENTICAL tag collections:
+    # with a tag_sig column the chain contracts across the way boundary
+    # (reference merges on tag-collection equality, not way identity)
+    e = _edges(spark, [
+        (1, 0, (0.0, 0.0), (1.0, 0.0), []),
+        (2, 0, (1.0, 0.0), (2.0, 0.0), [(1.5, 0.1)]),
+    ]).withColumn("tag_sig", F.lit("sig-residential"))
+    out = prune_shape_points(e).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.v1_lon, r.v2_lon) == (0.0, 2.0)
+    assert r.way_id in (1, 2) and r.tag_sig == "sig-residential"
+    mids = [tuple(map(float, p.split(" "))) for p in r.shape_pts.split(";")]
+    assert mids == [(1.0, 0.0), (1.5, 0.1)]
+
+
+def test_cross_way_different_tags_not_merged(spark):
+    e = _edges(spark, [
+        (1, 0, (0.0, 0.0), (1.0, 0.0), []),
+        (2, 0, (1.0, 0.0), (2.0, 0.0), []),
+    ]).withColumn("tag_sig",
+                  F.when(F.col("way_id") == 1, "sig-a").otherwise("sig-b"))
+    assert prune_shape_points(e).count() == 2
+
+
 def test_long_chain_log_rounds(spark):
     # 16-edge chain collapses within the bounded rounds
     rows = [(3, i, (float(i), 0.0), (float(i + 1), 0.0), []) for i in range(16)]

@@ -925,8 +925,12 @@ FROM media CROSS JOIN (SELECT unnest(range(0, 8)) AS j)
 # ---------------------------------------------------------------------------
 
 def _grid_graph(spark):
+    """Jitter-free lattice: node coordinates are the exact closed-form
+    doubles ``lon0 + gx*step`` / ``lat0 + gy*step``, so the DuckDB faces
+    oracle reconstructs every vertex (and bbox double) bit-for-bit.  The
+    jittered variant of the same fixture exercises robustness in pytest."""
     from . import datagen
-    nodes_pdf, ways_pdf = datagen.gen_ways_grid(k=6, seed=44)
+    nodes_pdf, ways_pdf = datagen.gen_ways_grid(k=6, seed=44, jitter=0.0)
     nodes = spark.createDataFrame(
         nodes_pdf, schema="node_id long, lon double, lat double")
     ways = spark.createDataFrame(
@@ -936,11 +940,59 @@ def _grid_graph(spark):
 
 def q_faces_grid_spark(spark, sf_dir):
     """P1-P7: planar-graph face extraction over the deterministic street
-    lattice (the reference's signature computation)."""
+    lattice (the reference's signature computation, Faces.cs:16-226).
+
+    Driver-checkable canonical form: each face as its SORTED distinct
+    vertex set (the ring CYCLE starts at the walk's anchor half-edge, which
+    is an internal traversal detail — canonicalizing makes the query
+    oracle-exact; cycle order + UUIDv5 guids are pinned by the pytest
+    suite) plus edge count and exact bbox doubles."""
     from .operators.graph_build import build_faces_from_ways
     nodes, ways = _grid_graph(spark)
-    return build_faces_from_ways(nodes, ways).select(
-        "face_guid", "n_edges", "min_lon", "min_lat", "max_lon", "max_lat")
+    faces = build_faces_from_ways(nodes, ways)
+    pts = F.filter(F.split(F.col("ring"), ";"),
+                   lambda x: F.length(x) > 0)
+    return faces.select(
+        F.array_join(F.array_sort(F.array_distinct(pts)), "|").alias("verts"),
+        F.col("n_edges").cast("long").alias("n_edges"),
+        "min_lon", "min_lat", "max_lon", "max_lat")
+
+
+# Closed-form reconstruction of the k=6 jitter-free lattice faces
+# (Faces.cs:16-226 semantics): 25 interior unit squares + the outer face
+# (20 perimeter vertices).  Doubles via the IDENTICAL expression tree the
+# fixture uses (lon0 + i*step), decimals forced to DOUBLE so DuckDB does
+# IEEE arithmetic, vertices formatted/sorted exactly like the Spark side.
+_FACES_GRID_SQL = """
+WITH cells AS (
+  SELECT gx, gy FROM range(0, 5) t1(gx) CROSS JOIN range(0, 5) t2(gy)
+), corners AS (
+  SELECT gx, gy,
+         CAST(4.70 AS DOUBLE) + (gx + dx) * CAST(0.01 AS DOUBLE) AS lon,
+         CAST(51.20 AS DOUBLE) + (gy + dy) * CAST(0.01 AS DOUBLE) AS lat
+  FROM cells CROSS JOIN (VALUES (0, 0), (1, 0), (0, 1), (1, 1)) c(dx, dy)
+), inner_faces AS (
+  SELECT string_agg(printf('%.9f %.9f', lon, lat), '|'
+                    ORDER BY printf('%.9f %.9f', lon, lat)) AS verts,
+         CAST(4 AS BIGINT) AS n_edges,
+         MIN(lon) AS min_lon, MIN(lat) AS min_lat,
+         MAX(lon) AS max_lon, MAX(lat) AS max_lat
+  FROM corners GROUP BY gx, gy
+), peri AS (
+  SELECT CAST(4.70 AS DOUBLE) + i * CAST(0.01 AS DOUBLE) AS lon,
+         CAST(51.20 AS DOUBLE) + j * CAST(0.01 AS DOUBLE) AS lat
+  FROM range(0, 6) a(i) CROSS JOIN range(0, 6) b(j)
+  WHERE i IN (0, 5) OR j IN (0, 5)
+), outer_face AS (
+  SELECT string_agg(printf('%.9f %.9f', lon, lat), '|'
+                    ORDER BY printf('%.9f %.9f', lon, lat)) AS verts,
+         CAST(20 AS BIGINT) AS n_edges,
+         MIN(lon) AS min_lon, MIN(lat) AS min_lat,
+         MAX(lon) AS max_lon, MAX(lat) AS max_lat
+  FROM peri
+)
+SELECT * FROM inner_faces UNION ALL SELECT * FROM outer_face
+"""
 
 
 def _grid_landuse(spark):
@@ -980,13 +1032,57 @@ def q_faces_landuse_spark(spark, sf_dir):
 
 
 def q_mvt_tiles_spark(spark, sf_dir):
-    """S7 MVT sink: faces -> one vector-tile blob per covering z14 tile."""
+    """S7 MVT sink: faces -> one vector-tile blob per covering z14 tile.
+
+    Driver-checkable form: (z, x, y, n_features) with a closed-form tile
+    cover oracle; the protobuf encoder is FORCED to execute by the
+    length(mvt) filter (column pruning would otherwise skip it), and the
+    wire bytes themselves are field-parsed in pytest (byte lengths are
+    varint-dependent — not SQL arithmetic)."""
     from .operators.graph_build import build_faces_from_ways
     from .sources.mvt import faces_to_mvt
     nodes, ways = _grid_graph(spark)
     tiles = faces_to_mvt(build_faces_from_ways(nodes, ways))
-    return tiles.select("tile_z", "tile_x", "tile_y", "n_features",
-                        F.length("mvt").alias("mvt_bytes"))
+    return (tiles.filter(F.length("mvt") > 0)
+            .select("tile_z", "tile_x", "tile_y", "n_features"))
+
+
+# Closed-form MVT tile cover for the lattice faces: per-face covering z14
+# tiles from the exact bboxes (WorldToTile, TileStatic.cs:113-125 — same
+# Mercator expression; grid latitudes sit far from tile-boundary floors so
+# C-library vs JVM 1-ulp noise cannot flip a tile), counted per tile.
+_MVT_TILES_SQL = """
+WITH cells AS (
+  SELECT gx, gy FROM range(0, 5) t1(gx) CROSS JOIN range(0, 5) t2(gy)
+), faces AS (
+  SELECT CAST(4.70 AS DOUBLE) + gx * CAST(0.01 AS DOUBLE) AS min_lon,
+         CAST(51.20 AS DOUBLE) + gy * CAST(0.01 AS DOUBLE) AS min_lat,
+         CAST(4.70 AS DOUBLE) + (gx + 1) * CAST(0.01 AS DOUBLE) AS max_lon,
+         CAST(51.20 AS DOUBLE) + (gy + 1) * CAST(0.01 AS DOUBLE) AS max_lat
+  FROM cells
+  UNION ALL
+  SELECT CAST(4.70 AS DOUBLE), CAST(51.20 AS DOUBLE),
+         CAST(4.70 AS DOUBLE) + 5 * CAST(0.01 AS DOUBLE),
+         CAST(51.20 AS DOUBLE) + 5 * CAST(0.01 AS DOUBLE)
+), tx AS (
+  SELECT CAST(FLOOR((min_lon + 180.0) / 360.0 * 16384.0) AS BIGINT) AS x0,
+         CAST(FLOOR((max_lon + 180.0) / 360.0 * 16384.0) AS BIGINT) AS x1,
+         CAST(FLOOR((1.0 - ln(tan(radians(max_lat))
+               + 1.0 / cos(radians(max_lat))) / pi()) / 2.0 * 16384.0)
+              AS BIGINT) AS y0,
+         CAST(FLOOR((1.0 - ln(tan(radians(min_lat))
+               + 1.0 / cos(radians(min_lat))) / pi()) / 2.0 * 16384.0)
+              AS BIGINT) AS y1
+  FROM faces
+), ex1 AS (
+  SELECT unnest(range(x0, x1 + 1)) AS x, y0, y1 FROM tx
+), ex2 AS (
+  SELECT x, unnest(range(y0, y1 + 1)) AS y FROM ex1
+)
+SELECT CAST(14 AS INT) AS tile_z, x AS tile_x, y AS tile_y,
+       CAST(COUNT(*) AS INT) AS n_features
+FROM ex2 GROUP BY x, y
+"""
 
 
 def q_density_mvt_spark(spark, sf_dir):
@@ -1517,10 +1613,27 @@ FROM orders GROUP BY o_custkey, o_orderstatus""")
     # -- face / landuse / tile pipeline (rows-only: sequential half-edge
     #    walk inside applyInPandas is not SQL-expressible; exactness covered
     #    by the pytest oracle suite)
-    df_q("faces_grid", q_faces_grid_spark, None)
+    # faces pipeline: faces_grid is oracle-exact (closed-form lattice
+    # reconstruction; ring cycles canonicalized to sorted vertex sets —
+    # cycle order + UUIDv5 guids are walk-internal and pinned by pytest).
+    df_q("faces_grid", q_faces_grid_spark, _FACES_GRID_SQL)
+    # faces_landuse: overlap pcts come from the NumPy clip kernel over
+    # cos/sin-derived landuse rings — float areas are not reproducible
+    # bit-for-bit in SQL; exactness is covered by tests/test_clip_general
+    # (incl. an exact concave fixture) and the integer-form overlap_area
+    # query above.
     df_q("faces_landuse", q_faces_landuse_spark, None)
-    df_q("mvt_tiles", q_mvt_tiles_spark, None)
+    df_q("mvt_tiles", q_mvt_tiles_spark, _MVT_TILES_SQL)
+    # density_mvt: the z11 re-tiling round-trips inverse+forward Mercator
+    # (sinh/atan then ln/tan) — DuckDB lacks sinh and composed libm calls
+    # are not bit-stable at floor boundaries, so the tile grouping is not
+    # SQL-reproducible; the raster->segment stage is oracle-covered by
+    # raster_vectorize and the MVT bytes are field-parsed in pytest.
     df_q("density_mvt", q_density_mvt_spark, None)
+    # geojson_features: the payload embeds the UUIDv5 face_guid (SHA-1 —
+    # not computable in DuckDB) and the walk-order ring cycle; the face
+    # content itself is oracle-exact via faces_grid, and the GeoJSON
+    # assembly is covered by pytest.
     df_q("geojson_features", q_geojson_spark, None)
 
     return cat

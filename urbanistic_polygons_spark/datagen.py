@@ -140,7 +140,8 @@ def gen_polygons(n_polys: int, seed: int = 43) -> pd.DataFrame:
 
 
 def gen_ways_grid(k: int = 6, seed: int = 44,
-                  origin=(4.70, 51.20), step: float = 0.01) -> tuple[pd.DataFrame, pd.DataFrame]:
+                  origin=(4.70, 51.20), step: float = 0.01,
+                  jitter: float = 1.0) -> tuple[pd.DataFrame, pd.DataFrame]:
     """A k x k lattice of barrier ways sharing intersection nodes, plus a few
     closed landuse rings overlapping grid faces — reproduces the reference
     unit-test scenarios (FIXTURES.md §2) at Belgian coordinates.
@@ -157,9 +158,12 @@ def gen_ways_grid(k: int = 6, seed: int = 44,
         for gx in range(k):
             i = len(nodes)
             nid[(gx, gy)] = i
-            # tiny deterministic jitter so no degenerate colinearity
-            jx = float(rng.uniform(-step * 0.05, step * 0.05))
-            jy = float(rng.uniform(-step * 0.05, step * 0.05))
+            # tiny deterministic jitter so no degenerate colinearity;
+            # jitter=0.0 gives exact closed-form coordinates (the DuckDB
+            # faces oracle needs them) while consuming the SAME rng draws
+            # so the downstream landuse-cell picks are unchanged
+            jx = float(rng.uniform(-step * 0.05, step * 0.05)) * jitter
+            jy = float(rng.uniform(-step * 0.05, step * 0.05)) * jitter
             nodes.append((i, lon0 + gx * step + jx, lat0 + gy * step + jy))
     ways = []
     wid = 0

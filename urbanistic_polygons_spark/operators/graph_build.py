@@ -67,12 +67,23 @@ def detect_vertices(way_nodes: DataFrame) -> DataFrame:
          | (F.col("n_uses") >= 2)).alias("is_vertex"))
 
 
+def tag_signature(tags_col) -> F.Column:
+    """Canonical tag-collection signature: md5 over sorted ``k=v`` entries.
+    Two ways have equal tag COLLECTIONS (the reference's G4 merge
+    condition, TiledBarrierGraphExtensions.cs:214-255) iff their
+    signatures are equal."""
+    return F.md5(F.concat_ws(";", F.array_sort(F.transform(
+        F.map_entries(tags_col),
+        lambda e: F.concat_ws("=", e["key"], e["value"])))))
+
+
 def split_ways_to_edges(nodes: DataFrame, ways: DataFrame) -> DataFrame:
     """G2 + G5: barrier ways -> standardized edges.
 
-    Output: (edge_id string, v1_lon, v1_lat, v2_lon, v2_lat,
-             shape_pts string 'lon lat;...', tags, min_lon..max_lat bbox).
+    Output: (way_id, seg, tag_sig, v1_lon, v1_lat, v2_lon, v2_lat,
+             shape_pts string 'lon lat;...', min_lon..max_lat bbox).
     """
+    ways = ways.withColumn("tag_sig", tag_signature(F.col("tags")))
     wn = resolve_way_nodes(nodes, ways)
     verts = detect_vertices(wn)
     wn = wn.join(verts, "node_id")
@@ -121,14 +132,21 @@ def split_ways_to_edges(nodes: DataFrame, ways: DataFrame) -> DataFrame:
         F.array_max("all_lons").alias("max_lon"),
         F.array_max("all_lats").alias("max_lat"),
     )
-    return edges
+    # attach the per-way tag signature (G4 merge equality key): way_id is
+    # the join key on both sides, so AQE co-partitions this cheaply
+    return edges.join(ways.select("way_id", "tag_sig"), "way_id")
 
 
 def prune_shape_points(edges: DataFrame, max_rounds: int = 16) -> DataFrame:
     """G4 (declarative variant): contract degree-2 vertices by merging their
     two incident edges, shapes concatenated through the removed vertex —
-    reference TiledBarrierGraphExtensions.cs:214-255 (tag equality is
-    approximated by way_id equality: edges of one way always share tags).
+    reference TiledBarrierGraphExtensions.cs:214-255.
+
+    Merge condition: equal tag COLLECTIONS via the ``tag_sig`` column
+    (tag_signature) when present — so chains crossing WAY boundaries with
+    identical tags contract, exactly like the reference; without a
+    ``tag_sig`` column the way_id approximates it (same-way edges always
+    share tags).
 
     Round-based chain contraction: each round merges a conflict-free set of
     degree-2 vertices (an edge merges only at the vertex that is its
@@ -141,20 +159,22 @@ def prune_shape_points(edges: DataFrame, max_rounds: int = 16) -> DataFrame:
     vkey2 = F.format_string("%.9f %.9f", F.col("v2_lon"), F.col("v2_lat"))
     ekey = F.format_string("%s#%s", F.col("way_id").cast("string"),
                            F.col("seg").cast("string"))
+    has_sig = "tag_sig" in edges.columns
+    sig = F.col("tag_sig") if has_sig else F.col("way_id").cast("string")
 
     for _ in range(max_rounds):
         e = edges.withColumn("ekey", ekey).withColumn(
-            "vk1", vkey1).withColumn("vk2", vkey2)
+            "vk1", vkey1).withColumn("vk2", vkey2).withColumn("sig", sig)
         not_loop = e.filter(F.col("vk1") != F.col("vk2"))
         ends = not_loop.select(
-            F.col("vk1").alias("vk"), F.struct("ekey", "way_id").alias("inc")
+            F.col("vk1").alias("vk"), F.struct("ekey", "sig").alias("inc")
         ).unionByName(not_loop.select(
-            F.col("vk2").alias("vk"), F.struct("ekey", "way_id").alias("inc")))
+            F.col("vk2").alias("vk"), F.struct("ekey", "sig").alias("inc")))
         cand = (ends.groupBy("vk")
                 .agg(F.array_sort(F.collect_list("inc")).alias("incs"))
                 .filter((F.size("incs") == 2)
                         & (F.col("incs")[0]["ekey"] != F.col("incs")[1]["ekey"])
-                        & (F.col("incs")[0]["way_id"] == F.col("incs")[1]["way_id"]))
+                        & (F.col("incs")[0]["sig"] == F.col("incs")[1]["sig"]))
                 .select("vk", F.col("incs")[0]["ekey"].alias("e1"),
                         F.col("incs")[1]["ekey"].alias("e2")))
         # conflict-free: an edge participates only at its smallest cand vk
@@ -182,18 +202,23 @@ def prune_shape_points(edges: DataFrame, max_rounds: int = 16) -> DataFrame:
         shp = F.when(at_v2, F.col("shape_pts")).otherwise(
             F.when(F.col("shape_pts").isNull(), F.lit(None)).otherwise(
                 F.concat_ws(";", F.reverse(F.split(F.col("shape_pts"), ";")))))
-        m = m.select("vk", "side", "way_id", "seg",
+        m = m.select("vk", "side", "way_id", "seg", "sig",
                      far_lon.alias("f_lon"), far_lat.alias("f_lat"),
                      shp.alias("shp"))
         merged = (
             m.groupBy("vk")
             .agg(F.min(F.when(F.col("side") == 1, F.struct(
-                "f_lon", "f_lat", "shp", "way_id", "seg"))).alias("a"),
+                "f_lon", "f_lat", "shp", "way_id", "seg", "sig"))).alias("a"),
                  F.min(F.when(F.col("side") == 2, F.struct(
-                     "f_lon", "f_lat", "shp", "way_id", "seg"))).alias("b"))
+                     "f_lon", "f_lat", "shp", "way_id", "seg", "sig"))).alias("b"))
             .select(
+                # the merged edge takes side a's identity: (a.way_id, a.seg)
+                # is freed by consuming a, and — unlike least(a.seg, b.seg) —
+                # can never collide with a surviving edge when a and b come
+                # from DIFFERENT ways (cross-way merge under tag equality)
                 F.col("a.way_id").alias("way_id"),
-                F.least(F.col("a.seg"), F.col("b.seg")).alias("seg"),
+                F.col("a.seg").alias("seg"),
+                F.col("a.sig").alias("sig"),
                 F.col("a.f_lon").alias("a_lon"), F.col("a.f_lat").alias("a_lat"),
                 F.col("b.f_lon").alias("b_lon"), F.col("b.f_lat").alias("b_lat"),
                 # a.shp (a->vk) + vk + reverse(b.shp) (vk->b)
@@ -205,8 +230,9 @@ def prune_shape_points(edges: DataFrame, max_rounds: int = 16) -> DataFrame:
         )
         fwd = F.col("a_lon") < F.col("b_lon")
         rev_mid = F.concat_ws(";", F.reverse(F.split(F.col("mid_str"), ";")))
+        sig_cols = [F.col("sig").alias("tag_sig")] if has_sig else []
         new_edges = merged.select(
-            "way_id", "seg",
+            "way_id", "seg", *sig_cols,
             F.when(fwd, F.col("a_lon")).otherwise(F.col("b_lon")).alias("v1_lon"),
             F.when(fwd, F.col("a_lat")).otherwise(F.col("b_lat")).alias("v1_lat"),
             F.when(fwd, F.col("b_lon")).otherwise(F.col("a_lon")).alias("v2_lon"),
@@ -299,17 +325,21 @@ def planarize_edges(edges: DataFrame) -> DataFrame:
                              lambda p: F.split(p, " ")[1].cast("double"))
     all_lons = F.concat(F.array("v1_lon", "v2_lon"), shape_lons)
     all_lats = F.concat(F.array("v1_lat", "v2_lat"), shape_lats)
-    return out.select(
+    flat_edges = out.select(
         "way_id", "seg", "v1_lon", "v1_lat", "v2_lon", "v2_lat", "shape_pts",
         F.array_min(all_lons).alias("min_lon"),
         F.array_min(all_lats).alias("min_lat"),
         F.array_max(all_lons).alias("max_lon"),
         F.array_max(all_lats).alias("max_lat"))
+    if "tag_sig" in edges.columns:  # re-attach the per-way G4 signature
+        flat_edges = flat_edges.join(
+            edges.select("way_id", "tag_sig").distinct(), "way_id")
+    return flat_edges
 
 
 def build_faces_from_ways(nodes: DataFrame, ways: DataFrame,
                           max_ring: int = 4,
-                          planarize_crossings: bool = False) -> DataFrame:
+                          planarize_crossings: bool = True) -> DataFrame:
     """End-to-end: barrier ways -> planar edges -> per-cell face polygons
     with content-addressed GUIDs, cross-cell dedup'd.
 
