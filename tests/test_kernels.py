@@ -113,3 +113,15 @@ def test_signed_area_orientation():
 def test_bbox_overlaps_eps():
     assert K.bbox_overlaps(0, 0, 1, 1, 1 + 5e-9, 0, 2, 1)
     assert not K.bbox_overlaps(0, 0, 1, 1, 1.1, 0, 2, 1)
+
+
+def test_offset_with_distance_x():
+    # round-trip: offsetting east by D meters must land ~D meters away
+    # (equirectangular metric), latitude unchanged; west for negative D
+    # (reference GeoExtensions.cs:224-239)
+    lon, lat = 4.71, 51.22
+    for d in (10.0, 250.0, -80.0):
+        new_lon = float(K.offset_with_distance_x(lon, lat, d))
+        got = float(K.distance_m(lon, lat, new_lon, lat))
+        assert got == pytest.approx(abs(d), rel=1e-6)
+        assert (new_lon > lon) == (d > 0)

@@ -1125,18 +1125,57 @@ def q_density_mvt_spark(spark, sf_dir):
     y1 = lat((F.col("gy") + 1) * 10000)   # south edge
     pt = lambda a, b: F.format_string("%.9f %.9f", a, b)  # noqa: E731
     faces = seg.select(
+        "gy", "x_start", "x_end",
         F.md5(F.format_string("%d_%d", F.col("gy"), F.col("x_start")))
         .alias("face_guid"),
         F.concat_ws(";", pt(x0, y0), pt(x1, y0), pt(x1, y1), pt(x0, y1),
-                    pt(x0, y0)).alias("ring"),
-        F.least(x0, x1).alias("min_lon"), F.least(y0, y1).alias("min_lat"),
-        F.greatest(x0, x1).alias("max_lon"), F.greatest(y0, y1).alias("max_lat"))
+                    pt(x0, y0)).alias("ring"))
     # encode the density layer at z11 (the serving pyramid level): cell-
     # sized segments grouped into 64x-coarser tiles keeps the per-tile
-    # kernel fed with real batches instead of 10k one-feature groups
-    tiles = faces_to_mvt(faces, zoom=11)
-    return tiles.select("tile_z", "tile_x", "tile_y", "n_features",
-                        F.length("mvt").alias("mvt_bytes"))
+    # kernel fed with real batches instead of 10k one-feature groups.
+    # Tile cover is INTEGER-EXACT from the raster cell indices ((g+offset)
+    # DIV 8) — the float inverse+forward Mercator round-trip is
+    # floor-unstable exactly at cell boundaries (gy % 8 == 0), so deriving
+    # the cover from the lon/lat bbox would be fragile AND unverifiable;
+    # this way the query has a closed-form DuckDB oracle.
+    covered = (faces
+               .withColumn("tile_x", F.explode(F.sequence(
+                   F.expr("(x_start + 8300) DIV 8"),
+                   F.expr("(x_end + 8300) DIV 8"))))
+               .withColumn("tile_y", F.expr("(gy + 5447) DIV 8")))
+    tiles = faces_to_mvt(covered.select("face_guid", "ring",
+                                        "tile_x", "tile_y"), zoom=11)
+    return (tiles.filter(F.length("mvt") > 0)
+            .select("tile_z", "tile_x", "tile_y", "n_features"))
+
+
+# Closed-form oracle for the density->vector->MVT composition: the same
+# raster/island arithmetic as raster_vectorize, then the INTEGER z11 tile
+# cover ((cell + offset) DIV 8) and a per-tile feature count.
+_DENSITY_MVT_SQL = """
+WITH pts AS (
+  SELECT (o_orderkey * 7919) % 1890000 AS px,
+         (o_custkey * 7907 + o_orderkey * 13) % 1520000 AS py
+  FROM orders
+), g AS (
+  SELECT px // 10000 AS gx, py // 10000 AS gy, COUNT(*) AS n
+  FROM pts GROUP BY 1, 2
+), f AS (
+  SELECT * FROM g WHERE n >= 2
+), m AS (
+  SELECT *, gx - ROW_NUMBER() OVER (PARTITION BY gy ORDER BY gx) AS grp
+  FROM f
+), s AS (
+  SELECT gy, MIN(gx) AS x_start, MAX(gx) AS x_end FROM m GROUP BY gy, grp
+), ex AS (
+  SELECT gy,
+         unnest(range((x_start + 8300) // 8, (x_end + 8300) // 8 + 1)) AS tile_x
+  FROM s
+)
+SELECT CAST(11 AS INT) AS tile_z, tile_x, (gy + 5447) // 8 AS tile_y,
+       CAST(COUNT(*) AS INT) AS n_features
+FROM ex GROUP BY tile_x, (gy + 5447) // 8
+"""
 
 
 def q_geojson_spark(spark, sf_dir):
@@ -1624,12 +1663,9 @@ FROM orders GROUP BY o_custkey, o_orderstatus""")
     # query above.
     df_q("faces_landuse", q_faces_landuse_spark, None)
     df_q("mvt_tiles", q_mvt_tiles_spark, _MVT_TILES_SQL)
-    # density_mvt: the z11 re-tiling round-trips inverse+forward Mercator
-    # (sinh/atan then ln/tan) — DuckDB lacks sinh and composed libm calls
-    # are not bit-stable at floor boundaries, so the tile grouping is not
-    # SQL-reproducible; the raster->segment stage is oracle-covered by
-    # raster_vectorize and the MVT bytes are field-parsed in pytest.
-    df_q("density_mvt", q_density_mvt_spark, None)
+    # density_mvt: integer-exact z11 tile cover -> closed-form oracle; the
+    # MVT wire bytes are varint-dependent and field-parsed in pytest.
+    df_q("density_mvt", q_density_mvt_spark, _DENSITY_MVT_SQL)
     # geojson_features: the payload embeds the UUIDv5 face_guid (SHA-1 —
     # not computable in DuckDB) and the walk-order ring cycle; the face
     # content itself is oracle-exact via faces_grid, and the GeoJSON

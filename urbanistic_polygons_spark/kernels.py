@@ -261,6 +261,20 @@ def distance_m(lon1, lat1, lon2, lat2) -> np.ndarray:
     return np.sqrt(x * x + y * y) * EARTH_RADIUS_M
 
 
+def offset_with_distance_x(lon, lat, meter) -> np.ndarray:
+    """Offset a coordinate east along the x axis by ``meter`` meters:
+    probe 0.001 deg east, measure the equirectangular distance, scale the
+    longitude delta linearly; latitude is unchanged.
+
+    Mirrors reference Geo/GeoExtensions.cs:224-239 (OffsetWithDistanceX).
+    """
+    lon = np.asarray(lon, np.float64)
+    lat = np.asarray(lat, np.float64)
+    probe = 0.001
+    lon_distance = distance_m(lon, lat, lon + probe, lat)
+    return lon + (np.asarray(meter, np.float64) / lon_distance) * probe
+
+
 def angle_clockwise(cx, cy, ax, ay, bx, by) -> np.ndarray:
     """Clockwise angle at point C from ray C->A to ray C->B, in [0, 2pi).
 

@@ -159,22 +159,31 @@ def mvt_kernel(zoom: int):
 
 def faces_to_mvt(faces, zoom: int = kernels.DEFAULT_ZOOM):
     """faces(face_guid, ring, min_lon..max_lat) -> one MVT blob per covering
-    tile (S7 sink).  Tile cover from the face bbox, JVM-side."""
+    tile (S7 sink).
+
+    Tile cover: if the input already carries ``tile_x``/``tile_y`` columns
+    (a caller that knows the exact integer cover — e.g. the density
+    pipeline, whose segments live on z14 cell boundaries where the
+    float Mercator round-trip is floor-unstable), they are used verbatim;
+    otherwise the cover derives from the face bbox JVM-side."""
     from pyspark.sql import functions as F
 
     from ..functions import cells as C
 
-    tiled = faces.withColumn(
-        "tile_xy",
-        F.explode(F.flatten(F.transform(
-            F.sequence(C.tile_y(F.col("max_lat"), zoom),
-                       C.tile_y(F.col("min_lat"), zoom)),
-            lambda cy: F.transform(
-                F.sequence(C.tile_x(F.col("min_lon"), zoom),
-                           C.tile_x(F.col("max_lon"), zoom)),
-                lambda cx: F.struct(cx.alias("x"), cy.alias("y")))))),
-    ).select("face_guid", "ring",
-             F.col("tile_xy.x").alias("tile_x"),
-             F.col("tile_xy.y").alias("tile_y"))
+    if "tile_x" in faces.columns and "tile_y" in faces.columns:
+        tiled = faces.select("face_guid", "ring", "tile_x", "tile_y")
+    else:
+        tiled = faces.withColumn(
+            "tile_xy",
+            F.explode(F.flatten(F.transform(
+                F.sequence(C.tile_y(F.col("max_lat"), zoom),
+                           C.tile_y(F.col("min_lat"), zoom)),
+                lambda cy: F.transform(
+                    F.sequence(C.tile_x(F.col("min_lon"), zoom),
+                               C.tile_x(F.col("max_lon"), zoom)),
+                    lambda cx: F.struct(cx.alias("x"), cy.alias("y")))))),
+        ).select("face_guid", "ring",
+                 F.col("tile_xy.x").alias("tile_x"),
+                 F.col("tile_xy.y").alias("tile_y"))
     return tiled.groupBy("tile_x", "tile_y").applyInPandas(
         mvt_kernel(zoom), MVT_SCHEMA)
