@@ -175,12 +175,17 @@ def q_landuse_agg_spark(spark, sf_dir):
 
 
 def q_tile_assign_spark(spark, sf_dir):
+    """A2 dominant type per cell: argmax(n) with asc-cls tie-break as ONE
+    aggregation — min over the struct (-n, cls) — instead of a window
+    row_number, which would sort every (cell, cls) row; both phases stay
+    partial-aggregable map-side."""
     counts = (_pip_hits(spark, sf_dir)
               .groupBy("cell_id", "cls").agg(F.count("*").alias("n")))
-    w = Window.partitionBy("cell_id").orderBy(F.desc("n"), F.asc("cls"))
-    return (counts.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("cell_id", F.col("cls").alias("dominant_cls"), "n"))
+    best = counts.groupBy("cell_id").agg(
+        F.min(F.struct((-F.col("n")).alias("negn"),
+                       F.col("cls").alias("cls"))).alias("b"))
+    return best.select("cell_id", F.col("b.cls").alias("dominant_cls"),
+                       (-F.col("b.negn")).alias("n"))
 
 
 def q_bbox_agg_spark(spark, sf_dir):
@@ -219,29 +224,33 @@ def q_knn_snap_spark(spark, sf_dir):
     pts = _pts_df(spark, sf_dir)
     rects = _rects_df(spark, sf_dir)
     # single-pass orphan detection: LEFT broadcast join with the refine
-    # predicates in the join condition, then per-point agg — the PIP chain
-    # runs ONCE (a separate matched-ids anti-join would execute the whole
+    # predicates in the join condition — the PIP chain runs ONCE (a
+    # separate matched-ids anti-join would execute the whole
     # candidate+refine subtree a second time; broadcast joins end in no
-    # exchange, so ReuseExchange cannot dedupe them)
-    index = _rect_cells(_rects_df(spark, sf_dir)).select(
-        F.col("cell_id").alias("i_cell"), "poly_id", "x0", "x1", "y0", "y1")
-    assigned = (
+    # exchange, so ReuseExchange cannot dedupe them).  No aggregation is
+    # needed to DETECT orphans: a left join emits its null-extended row
+    # only when a point matched NOTHING, and exactly once — so a null
+    # filter replaces what was the heaviest shuffle in the suite (a
+    # groupBy over every point on the wide (point_id, cell_id, px, py)
+    # key).
+    # ONE broadcast index shared by both joins: identical subplans let
+    # ReuseExchange dedupe the BroadcastExchange, so the rects scan +
+    # covering-cell explode executes once instead of once per join.
+    r = rects.withColumns({
+        "cx": F.expr("(x0 + x1) DIV 2"),
+        "cy": F.expr("(y0 + y1) DIV 2"),
+    })
+    index = _rect_cells(r).select(
+        F.col("cell_id").alias("i_cell"), "poly_id",
+        "x0", "x1", "y0", "y1", "cx", "cy")
+    orphans = (
         pts.join(F.broadcast(index),
                  (F.col("cell_id") == F.col("i_cell"))
                  & (F.col("px") >= F.col("x0")) & (F.col("px") < F.col("x1"))
                  & (F.col("py") >= F.col("y0")) & (F.col("py") < F.col("y1")),
                  "left")
-        .groupBy("point_id", "cell_id", "px", "py")
-        .agg(F.min("poly_id").alias("hit_poly")))
-    orphans = assigned.filter(F.col("hit_poly").isNull())
-    r = rects.withColumns({
-        "rcx0": F.expr("x0 DIV 10000") + 8300,
-        "rcx1": F.expr("x1 DIV 10000") + 8300,
-        "rcy0": F.expr("y0 DIV 10000") + 5447,
-        "rcy1": F.expr("y1 DIV 10000") + 5447,
-        "cx": F.expr("(x0 + x1) DIV 2"),
-        "cy": F.expr("(y0 + y1) DIV 2"),
-    })
+        .filter(F.col("poly_id").isNull())
+        .select("point_id", "cell_id", "px", "py"))
     # ringed-halo equi-join, NOT a cross join: explode each orphan's 7x7
     # ring-tagged halo and equi-join the broadcast rect covering-cell
     # index on cell_id.  min(ring per matched cell) == Chebyshev distance
@@ -249,15 +258,13 @@ def q_knn_snap_spark(spark, sf_dir):
     # O(orphans x rects) theta join the oracle SQL uses — but the work is
     # O(orphans x 49 x density), independent of the total rect count.
     from .functions import cells as CELLS
-    rect_cells = _rect_cells(r).select(
-        "cell_id", "poly_id", "cx", "cy")
     halo = orphans.select(
         "point_id", "cell_id", "px", "py",
         F.explode(CELLS.neighbor_cells_ringed(
             F.col("cell_id"), max_ring=3)).alias("h"))
-    cand = halo.join(
-        F.broadcast(rect_cells),
-        F.col("h.cell") == rect_cells.cell_id).drop(rect_cells.cell_id)
+    cand = (halo.join(F.broadcast(index),
+                      F.col("h.cell") == F.col("i_cell"))
+            .drop("i_cell", "x0", "x1", "y0", "y1"))
     d2 = ((F.col("px") - F.col("cx")) * (F.col("px") - F.col("cx"))
           + (F.col("py") - F.col("cy")) * (F.col("py") - F.col("cy")))
     scored = cand.select(
