@@ -111,7 +111,10 @@ def _proper_intersection(ax1: pd.Series, ay1: pd.Series, bx1: pd.Series, by1: pd
 def find_intersections(edges: DataFrame) -> DataFrame:
     """(edge_key, ord double, lon, lat) split points from proper
     intersections between segments of DIFFERENT edges."""
-    segs = _segments(edges)
+    # materialize once: the cell-keyed SELF-join would otherwise recompute
+    # the explode/window segment pipeline for each side (self-joins
+    # re-execute their subtree per side — repo rule)
+    segs = _segments(edges).localCheckpoint(eager=False)
     def pfx(df, p):
         return df.select([F.col(c).alias(f"{p}{c}") if c != "cell_id" else F.col(c)
                           for c in df.columns])
