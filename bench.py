@@ -27,7 +27,7 @@ HEADLINE = [
     "q1_pricing", "topk_per_group", "sessionize",
     "q3_shipping", "q5_region", "asof_join",
     # training-data ops
-    "simhash", "minhash_lsh_pairs", "ngram_jaccard",
+    "simhash", "minhash_lsh_pairs", "dedup_components", "ngram_jaccard",
     "embedding_topk", "embedding_ivf", "embedding_near_dup",
     "fingerprint", "exact_dedup_docs",
     # multimodal binary columns

@@ -80,3 +80,17 @@ def test_embedding_near_dup_pairs_found(spark):
     match = pairs[(pairs.id_a == 0) & (pairs.id_b == 1)]
     assert len(match) == 1
     assert int(match.iloc[0]["dot"]) == 4 * 500 * 500
+
+
+def test_near_dup_components(spark):
+    from urbanistic_polygons_spark.operators.dedup import near_dup_components
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4),          # chain 1-2-3-4
+         (10, 11),                         # pair
+         (20, 21), (21, 22), (22, 20)],    # triangle
+        "doc_a long, doc_b long")
+    got = {(r.doc_id, r.component)
+           for r in near_dup_components(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1),
+                   (10, 10), (11, 10),
+                   (20, 20), (21, 20), (22, 20)}

@@ -507,6 +507,36 @@ def q_minhash_lsh_spark(spark, sf_dir):
     return minhash_lsh_pairs(_aug_docs(spark), k=16, bands=8)
 
 
+def q_dedup_components_spark(spark, sf_dir):
+    """Near-dup GROUPS, end to end: LSH candidate pairs -> connected
+    components (min-label propagation) -> (doc_id, component=keeper)."""
+    from .operators.dedup import minhash_lsh_pairs, near_dup_components
+    register_views(spark, sf_dir)
+    return near_dup_components(
+        minhash_lsh_pairs(_aug_docs(spark), k=16, bands=8))
+
+
+def _dedup_components_sql() -> str:
+    """Exact oracle: transitive closure of the (identically capped) LSH
+    pair graph via a recursive CTE; component = min reachable doc_id."""
+    inner = _minhash_lsh_sql(k=16, bands=8)
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT * FROM ({inner}) t
+), sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+), reach AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+)
+SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+FROM reach GROUP BY src
+"""
+
+
 def q_embedding_topk_spark(spark, sf_dir):
     from .operators.similarity import brute_force_topk
     register_views(spark, sf_dir)
@@ -1647,6 +1677,7 @@ FROM orders GROUP BY o_custkey, o_orderstatus""")
     df_q("simhash", q_simhash_spark, _simhash_sql())
     df_q("minhash_sig", q_minhash_spark, _minhash_sql(k=8))
     df_q("minhash_lsh_pairs", q_minhash_lsh_spark, _minhash_lsh_sql(k=16, bands=8))
+    df_q("dedup_components", q_dedup_components_spark, _dedup_components_sql())
     df_q("ngram_jaccard", q_ngram_jaccard_spark, _NGRAM_JACCARD_SQL)
     df_q("embedding_topk", q_embedding_topk_spark, _EMB_TOPK_SQL)
     # LSH-ANN: float hyperplane sums aren't oracle-safe -> rows-only check

@@ -188,6 +188,51 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     return pairs.select(F.col("p.doc_a"), F.col("p.doc_b")).distinct()
 
 
+def near_dup_components(pairs: DataFrame, id_a: str = "doc_a",
+                        id_b: str = "doc_b",
+                        max_rounds: int = 24) -> DataFrame:
+    """Connected components over the near-dup candidate graph: the step
+    that turns pair lists (LSH / Jaccard / embedding) into actual dedup
+    groups.  Output: (doc_id, component) for every endpoint, where
+    ``component`` is the smallest doc_id reachable — so the keeper of a
+    group IS its component id.
+
+    Min-label propagation to fixpoint: each round every node takes the min
+    of its own label and its neighbors' labels (one message join + one
+    min-aggregation, both shuffle-on-node-key; lineage cut per round).
+    Rounds needed = component diameter — near-dup clusters are tiny and
+    dense, so a handful; the ``max_rounds`` cap plus an explicit
+    convergence check (no label changed) bounds the loop.  At extreme
+    scale the same loop admits the large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce"), which shrinks
+    long chains in O(log^2 n) rounds; diameter-bounded propagation is the
+    right default for dedup graphs.
+    """
+    sym = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+           .unionByName(pairs.select(F.col(id_b).alias("src"),
+                                     F.col(id_a).alias("dst")))
+           .distinct()
+           .localCheckpoint(eager=False))
+    labels = (sym.select(F.col("src").alias("node")).distinct()
+              .withColumn("component", F.col("node")))
+    prev_sum = None
+    for _ in range(max_rounds):
+        msgs = (sym.join(labels, sym.src == labels.node)
+                .select(F.col("dst").alias("node"), "component"))
+        labels = (labels.unionByName(msgs)
+                  .groupBy("node")
+                  .agg(F.min("component").alias("component"))
+                  .localCheckpoint(eager=True))
+        # labels are monotonically non-increasing per node, so the label
+        # SUM strictly decreases until fixpoint — one cheap aggregation
+        # detects convergence instead of a join against the previous round
+        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("node").alias("doc_id"), "component")
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id",
             text_col: str = "text", bits: int = 32) -> DataFrame:
     """(doc_id, simhash long): per-bit majority over 31-bit token hashes.
