@@ -220,3 +220,48 @@ def test_streaming_stateful_dedup(spark, tmp_path):
     out = run_dedup_stream_to_memory(spark, src).toPandas()
     assert len(out) == 2  # one row per distinct fingerprint, ever
     assert set(out.first_doc_id) <= {f"doc_{i:02d}" for i in range(12)}
+
+
+def test_streaming_dedup_state_ttl(spark, tmp_path):
+    """EventTimeTimeout bounds dedup state: once the watermark passes
+    last-seen + TTL the fingerprint's state is dropped, so a later
+    re-sighting is emitted as first-seen AGAIN — proving the state store
+    does not grow forever (the 10^12-doc requirement)."""
+    from datetime import datetime, timedelta
+
+    from urbanistic_polygons_spark.streaming.ingest import (
+        DOC_STREAM_SCHEMA, stream_documents, streaming_exact_dedup)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def write_batch(doc_id, text, ts):
+        spans = [{"kind": "text", "text": text, "media_ref": "", "offset": 0}]
+        df = spark.createDataFrame([(doc_id, ts, spans)], DOC_STREAM_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(str(src))
+
+    out = streaming_exact_dedup(stream_documents(spark, str(src)),
+                                watermark="10 seconds",
+                                state_ttl="30 seconds")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("ttl_dedup")
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    try:
+        phases = [
+            ("d1", "same doc body", t0),                             # first
+            ("d2", "other body", t0 + timedelta(seconds=600)),       # advance wm
+            ("d3", "third body", t0 + timedelta(seconds=610)),       # fire timeout
+            ("d4", "same doc body", t0 + timedelta(seconds=620)),    # re-sighting
+        ]
+        for doc_id, text, ts in phases:
+            write_batch(doc_id, text, ts)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM ttl_dedup").toPandas()
+    dup_rows = got[got.first_doc_id.isin(["d1", "d4"])]
+    # the same fingerprint emitted twice: once as d1, again as d4 after
+    # its state expired; without the TTL the second sighting is suppressed
+    assert sorted(dup_rows.first_doc_id) == ["d1", "d4"]
+    assert len(got) == 4

@@ -49,8 +49,16 @@ def streaming_cell_counts(docs: DataFrame,
                     "cell_id", "n_docs"))
 
 
+def _duration_ms(text: str) -> int:
+    n, unit = text.split()
+    mult = {"millisecond": 1, "second": 1000, "minute": 60_000,
+            "hour": 3_600_000, "day": 86_400_000}[unit.rstrip("s")]
+    return int(n) * mult
+
+
 def streaming_exact_dedup(docs: DataFrame,
-                          watermark: str = "1 hour") -> DataFrame:
+                          watermark: str = "1 hour",
+                          state_ttl: str | None = None) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): streaming exact
     dedup — emit each document fingerprint the FIRST time it is seen,
     with a running duplicate count on later sightings suppressed.
@@ -73,8 +81,17 @@ def streaming_exact_dedup(docs: DataFrame,
                   "spans", lambda s: F.concat_ws("|", s["kind"], s["text"],
                                                  s["media_ref"])))).alias("fp")))
 
+    ttl_ms = _duration_ms(state_ttl) if state_ttl else None
+
     def dedup_fn(key, batches, state: GroupState):
         (fingerprint,) = key
+        if ttl_ms is not None and state.hasTimedOut:
+            # watermark passed last-seen + TTL: the fingerprint's state is
+            # dropped — a later re-sighting counts as first-seen again.
+            # This is what BOUNDS total state at 10^12 docs: live state is
+            # only the fingerprints seen within the TTL horizon.
+            state.remove()
+            return
         if state.exists:
             first_doc, n_seen = state.get
         else:
@@ -82,6 +99,7 @@ def streaming_exact_dedup(docs: DataFrame,
         newly_seen = first_doc is None
         # vectorized per batch: count + min doc_id (deterministic pick when
         # several duplicates arrive in the same trigger)
+        max_ev_ms = None
         for pdf in batches:
             if len(pdf):
                 n_seen += len(pdf)
@@ -90,7 +108,12 @@ def streaming_exact_dedup(docs: DataFrame,
                 # doc_id can arrive in a later Arrow chunk
                 if newly_seen and (first_doc is None or m < first_doc):
                     first_doc = m
+                ev = int(pdf["event_time"].max().value // 1_000_000)
+                if max_ev_ms is None or ev > max_ev_ms:
+                    max_ev_ms = ev
         state.update((first_doc, n_seen))
+        if ttl_ms is not None and max_ev_ms is not None:
+            state.setTimeoutTimestamp(max_ev_ms + ttl_ms)
         if newly_seen and first_doc is not None:
             yield pd.DataFrame({"fp": [fingerprint],
                                 "first_doc_id": [first_doc]})
@@ -100,16 +123,20 @@ def streaming_exact_dedup(docs: DataFrame,
         outputStructType="fp string, first_doc_id string",
         stateStructType="first_doc_id string, n_seen long",
         outputMode="append",
-        # NoTimeout keeps the test harness's processAllAvailable bounded;
-        # production bounds state with EventTimeTimeout + the watermark
-        # (state.setTimeoutTimestamp(watermark horizon) per key)
-        timeoutConf=GroupStateTimeout.NoTimeout)
+        # EventTimeTimeout (when a TTL is given) expires per-fingerprint
+        # state once the watermark passes last-seen + TTL; NoTimeout keeps
+        # the no-TTL path exactly as before
+        timeoutConf=(GroupStateTimeout.EventTimeTimeout if ttl_ms is not None
+                     else GroupStateTimeout.NoTimeout))
 
 
 def run_dedup_stream_to_memory(spark: SparkSession, path: str,
-                               query_name: str = "stream_dedup"):
+                               query_name: str = "stream_dedup",
+                               state_ttl: str | None = None,
+                               watermark: str = "1 hour"):
     """Drive the stateful dedup query synchronously (test/smoke harness)."""
-    out = streaming_exact_dedup(stream_documents(spark, path))
+    out = streaming_exact_dedup(stream_documents(spark, path),
+                                watermark=watermark, state_ttl=state_ttl)
     q = (out.writeStream.outputMode("append")
          .format("memory").queryName(query_name).start())
     q.processAllAvailable()
