@@ -537,6 +537,41 @@ FROM reach GROUP BY src
 """
 
 
+def _emb_ann_sql(n_planes: int = 6, k: int = 5, seed: int = 7) -> str:
+    """Exact oracle for LSH-ANN: integer sign-bit buckets (same pattern as
+    similarity.lsh_bucket_int), probe the query's bucket, integer-dot
+    top-k."""
+    terms = " + ".join(
+        f"""(CASE WHEN list_sum(list_transform(range(0, CAST(len(v) AS BIGINT)),
+      i -> CASE WHEN ((i * {2654435761 + p * 40503} + {seed}) & 64) = 0
+                THEN v[i+1] ELSE -v[i+1] END)) > 0
+      THEN {1 << p} ELSE 0 END)"""
+        for p in range(n_planes))
+    return f"""
+WITH b AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+  FROM embeddings
+), bk AS (
+  SELECT vec_id, v, CAST({terms} AS BIGINT) AS bucket FROM b
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, bucket FROM bk WHERE vec_id < 8
+), s AS (
+  SELECT q.query_id, bk.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, CAST(len(bk.v) + 1 AS BIGINT)),
+           i -> bk.v[i] * q.qv[i])) AS BIGINT) AS dot
+  FROM bk JOIN q USING (bucket)
+  WHERE bk.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, dot, CAST(rank AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY dot DESC, neighbor_id) AS rank
+  FROM s
+) WHERE rank <= {k}
+"""
+
+
 def q_embedding_topk_spark(spark, sf_dir):
     from .operators.similarity import brute_force_topk
     register_views(spark, sf_dir)
@@ -1680,8 +1715,9 @@ FROM orders GROUP BY o_custkey, o_orderstatus""")
     df_q("dedup_components", q_dedup_components_spark, _dedup_components_sql())
     df_q("ngram_jaccard", q_ngram_jaccard_spark, _NGRAM_JACCARD_SQL)
     df_q("embedding_topk", q_embedding_topk_spark, _EMB_TOPK_SQL)
-    # LSH-ANN: float hyperplane sums aren't oracle-safe -> rows-only check
-    df_q("embedding_ann", q_embedding_ann_spark, None)
+    # LSH-ANN: integer sign-bit buckets -> exact oracle (recall stays
+    # approximate vs brute force — pinned by the recall-floor pytest)
+    df_q("embedding_ann", q_embedding_ann_spark, _emb_ann_sql())
     # IVF-ANN: integer quantizer + floored-mean Lloyd step -> exact oracle
     df_q("embedding_ivf", q_embedding_ivf_spark, _EMB_IVF_SQL)
     # near-dup: integer LSH bucket + capped in-bucket pairs -> exact oracle

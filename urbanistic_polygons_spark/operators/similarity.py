@@ -86,14 +86,16 @@ def ann_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
 
     At 100 TB the corpus is hash-partitioned (or bucketed on disk) by
     ``bucket`` so a probe touches one partition; here it is an equi-join on
-    the bucket id.  Recall is approximate by design — verified in tests
-    against brute force with a recall floor, not exact equality.
+    the bucket id.  Recall is approximate by design (recall-floor test vs
+    brute force), but the RESULT is deterministic and integer-exact: the
+    bucket is the sign-bit LSH over the QUANTIZED vector (lsh_bucket_int)
+    and the score an integer dot — so the query also has an exact DuckDB
+    oracle.
     """
     base = embeddings.select(
         F.col(id_col),
         quantized(F.col(vec_col)).alias("q"),
-        lsh_bucket(F.col(vec_col), n_planes).alias("bucket"),
-    )
+    ).withColumn("bucket", lsh_bucket_int(F.col("q"), n_planes))
     queries = (base.filter(F.col(id_col).isin(query_ids))
                .select(F.col(id_col).alias("query_id"),
                        F.col("q").alias("qv"), "bucket"))
