@@ -53,12 +53,15 @@ def main() -> None:
     cat["pip_assign"]["spark"](spark, sf_dir).count()
     cat["media_meta"]["spark"](spark, sf_dir).count()
 
-    # steady-state timing: two executions per query (the callable rebuilds
-    # the plan each call; verified that rebuilt-plan count() re-executes,
-    # no result reuse), report the min, keep both runs for transparency
+    # steady-state timing: three executions per query (the callable
+    # rebuilds the plan each call; verified that rebuilt-plan count()
+    # re-executes, no result reuse), report the min, keep all runs for
+    # transparency — the sandbox host has bursty ambient neighbor load
+    # (measured: identical code 3.8s vs 6.5s across quiet/noisy windows),
+    # so min-of-3 is the noise control
     runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
     rows: dict[str, int] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name in HEADLINE:
             fn = cat[name]["spark"]
             t0 = time.perf_counter()
