@@ -9,8 +9,9 @@ cat = C.build_catalog()
 
 AUDIT = ["pip_assign", "knn_snap", "tile_assign", "q3_shipping", "q5_region",
          "minhash_lsh_pairs", "ngram_jaccard", "cell_halo", "media_meta",
-         "embedding_ivf", "asof_join", "salted_agg", "tile_pyramid",
-         "global_topk", "landuse_rollup", "density_mvt"]
+         "embedding_ivf", "embedding_near_dup", "embedding_ann", "asof_join",
+         "salted_agg", "tile_pyramid", "global_topk", "landuse_rollup",
+         "density_mvt"]
 out = ["""# Physical plan audit
 
 Generated from `.explain`/`executedPlan` at sf0.01 (regenerate with
@@ -35,6 +36,12 @@ out.append(f"""
 The flagship `entry()` plan (spans synthesis -> PIP assign -> kNN snap)
 holds {E.entry(spark)._jdf.queryExecution().executedPlan().toString().count("Exchange ")} exchanges after the single-pass kNN rewrite (was 118 with the
 iterative ring loop).
+
+`dedup_components` is iterative (min-label propagation) and is audited by
+construction, not by its final plan snapshot: each round is one message
+join + one min-aggregation with the lineage cut by an eager
+localCheckpoint, and convergence is detected by the monotone label sum —
+no cartesian anywhere in the loop.
 
 ## Scan pushdown evidence (pip_assign)
 
