@@ -80,6 +80,23 @@ def test_disjoint_and_contained():
     assert a == pytest.approx(0.04, abs=1e-12)
 
 
+def test_degenerate_rings_never_throw():
+    """Invalid-geometry tolerance (reference catch at
+    Landuse/TiledBarrierGraphExtensions.cs:74-83): collinear or
+    under-sized rings contribute zero area, no exception."""
+    line_x = np.array([0.0, 1.0, 2.0])   # collinear "ring"
+    line_y = np.array([0.0, 0.0, 0.0])
+    assert kernels.polygon_intersection_area(SQ_X, SQ_Y, line_x, line_y) == 0.0
+    assert kernels.polygon_intersection_area(line_x, line_y, L_X, L_Y) == 0.0
+    two_x, two_y = np.array([0.0, 1.0]), np.array([0.0, 1.0])
+    assert kernels.polygon_intersection_area(SQ_X, SQ_Y, two_x, two_y) == 0.0
+    # duplicated-vertex ring still yields the true area
+    dup_x = np.array([0.5, 0.5, 1.5, 1.5, 0.5])
+    dup_y = np.array([0.5, 0.5, 0.5, 1.5, 1.5])
+    a = kernels.polygon_intersection_area(dup_x, dup_y, L_X, L_Y)
+    assert a == pytest.approx(0.75, abs=1e-12)
+
+
 def test_assign_landuse_concave_fixture(spark):
     """J2 end-to-end with a CONCAVE landuse ring: a unit face overlapped by
     an L-shaped landuse polygon must get pct = 0.75 (the convex-only

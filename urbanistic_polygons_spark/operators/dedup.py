@@ -213,9 +213,13 @@ def near_dup_components(pairs: DataFrame, id_a: str = "doc_a",
                                      F.col(id_a).alias("dst")))
            .distinct()
            .localCheckpoint(eager=False))
-    labels = (sym.select(F.col("src").alias("node")).distinct()
-              .withColumn("component", F.col("node")))
-    prev_sum = None
+    # initialization IS the first propagation round: label(v) = min(v,
+    # min neighbor) in the same shuffle that deduplicates nodes — one
+    # groupBy replaces distinct-nodes + a full first loop round
+    labels = (sym.groupBy(F.col("src").alias("node"))
+              .agg(F.least(F.first("src"), F.min("dst")).alias("component"))
+              .localCheckpoint(eager=True))
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
     for _ in range(max_rounds):
         msgs = (sym.join(labels, sym.src == labels.node)
                 .select(F.col("dst").alias("node"), "component"))
