@@ -265,3 +265,62 @@ def test_streaming_dedup_state_ttl(spark, tmp_path):
     # its state expired; without the TTL the second sighting is suppressed
     assert sorted(dup_rows.first_doc_id) == ["d1", "d4"]
     assert len(got) == 4
+
+
+def _decode_polygon_cmds(geom):
+    """MVT command integers -> list of (x, y) absolute quantized coords."""
+    pts, i, x, y = [], 0, 0, 0
+    unzig = lambda v: (v >> 1) ^ -(v & 1)  # noqa: E731
+    while i < len(geom):
+        cmd = geom[i]
+        op, count = cmd & 7, cmd >> 3
+        i += 1
+        if op in (1, 2):  # MoveTo / LineTo
+            for _ in range(count):
+                x += unzig(geom[i])
+                y += unzig(geom[i + 1])
+                pts.append((x, y))
+                i += 2
+        elif op == 7:  # ClosePath
+            pass
+    return pts
+
+
+def test_mvt_geometry_roundtrip(spark):
+    """Decode the wire geometry back to quantized coordinates and compare
+    against independently quantizing the input ring with the same
+    tile-box/EXTENT math — verifies the delta/zigzag/command encoding
+    end-to-end, not just field framing."""
+    from urbanistic_polygons_spark.sources.mvt import EXTENT, faces_to_mvt
+
+    out = faces_to_mvt(_faces_df(spark)).toPandas()
+    row = out.iloc[0]
+    blob = bytes(row.mvt)
+    layer = [v for f, w, v in _pb_fields(blob) if f == 3][0]
+    feature = [v for f, w, v in _pb_fields(layer) if f == 2][0]
+    geom_bytes = [v for f, w, v in _pb_fields(feature) if f == 4][0]
+    # geometry field is packed varints
+    geom, i = [], 0
+    while i < len(geom_bytes):
+        val, shift = 0, 0
+        while True:
+            b = geom_bytes[i]
+            i += 1
+            val |= (b & 0x7F) << shift
+            shift += 7
+            if not b & 0x80:
+                break
+        geom.append(val)
+    got = _decode_polygon_cmds(geom)
+
+    # expected: quantize the input ring (closing dup dropped) into the
+    # tile's EXTENT grid using the same kernel the encoder uses
+    minx, miny, maxx, maxy = kernels.tile_box(
+        np.array([row.tile_x]), np.array([row.tile_y]))
+    pts = np.array([p.split() for p in
+                    _sq(0, 0, S, S).split(";")], dtype=np.float64)[:-1]
+    qx = ((pts[:, 0] - float(minx[0]))
+          / (float(maxx[0]) - float(minx[0])) * EXTENT).astype(np.int64)
+    qy = ((float(maxy[0]) - pts[:, 1])
+          / (float(maxy[0]) - float(miny[0])) * EXTENT).astype(np.int64)
+    assert got == list(zip(qx.tolist(), qy.tolist()))
