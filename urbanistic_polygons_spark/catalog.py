@@ -867,6 +867,76 @@ FROM w WHERE event_type = 'click'
 """
 
 
+def q_stratified_sample_spark(spark, sf_dir):
+    """Deterministic stratified sampling (training-data mixing): keep a
+    per-language permille of documents by a portable content-free hash of
+    the doc_id — reproducible on any engine/cluster size (no RNG), the
+    standard way corpora are downsampled per stratum."""
+    from .functions import text as X
+    register_views(spark, sf_dir)
+    d = spark.table("documents")
+    rates = F.create_map(
+        F.lit("en"), F.lit(500), F.lit("es"), F.lit(250),
+        F.lit("fr"), F.lit(250), F.lit("de"), F.lit(125))
+    h = F.pmod(X.hash31(F.concat(F.lit("sample:"),
+                                 F.col("doc_id").cast("string"))), F.lit(1000))
+    return (d.withColumn("h", h)
+            .filter(F.col("h") < F.coalesce(rates[F.col("lang")], F.lit(0)))
+            .select("doc_id", "lang", F.col("h").alias("sample_key")))
+
+
+_STRATIFIED_SAMPLE_SQL = """
+WITH h AS (
+  SELECT doc_id, lang,
+         (CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 2147483647) % 1000 AS sample_key
+  FROM documents
+)
+SELECT doc_id, lang, sample_key FROM h
+WHERE sample_key < CASE lang WHEN 'en' THEN 500 WHEN 'es' THEN 250
+                             WHEN 'fr' THEN 250 WHEN 'de' THEN 125
+                             ELSE 0 END
+"""
+
+
+def q_cross_source_overlap_spark(spark, sf_dir):
+    """Train/eval contamination check: fingerprints whose documents appear
+    in MORE than one source, with per-source doc lists — the dedup-key
+    variant of the standard leakage scan over a corpus."""
+    from .functions import text as X
+    register_views(spark, sf_dir)
+    d = spark.table("documents")
+    # deterministic synthetic leakage: every 7th doc re-appears verbatim
+    # under an 'eval' source (same construction in the oracle SQL)
+    leaked = (d.filter(F.col("doc_id") % 7 == 0)
+              .select((F.col("doc_id") + 2000000).alias("doc_id"), "text",
+                      F.lit("eval").alias("source")))
+    aug = d.select("doc_id", "text", "source").unionByName(leaked)
+    fp = aug.select("doc_id", "source",
+                    X.fingerprint(F.col("text")).alias("fp"))
+    return (fp.groupBy("fp")
+            .agg(F.count_distinct("source").alias("n_sources"),
+                 F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("min_doc"))
+            .filter(F.col("n_sources") > 1))
+
+
+_CROSS_SOURCE_SQL = """
+WITH aug AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, text, 'eval' FROM documents WHERE doc_id % 7 = 0
+), fp AS (
+  SELECT doc_id, source,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM aug
+)
+SELECT fp, COUNT(DISTINCT source) AS n_sources, COUNT(*) AS n_docs,
+       MIN(doc_id) AS min_doc
+FROM fp GROUP BY fp HAVING COUNT(DISTINCT source) > 1
+"""
+
+
 def q_exact_dedup_docs_spark(spark, sf_dir):
     from .operators.dedup import exact_dedup
     register_views(spark, sf_dir)
@@ -1705,6 +1775,9 @@ FROM orders GROUP BY o_custkey, o_orderstatus""")
 
     # -- text / dedup / similarity ------------------------------------------
     df_q("exact_dedup_docs", q_exact_dedup_docs_spark, _EXACT_DEDUP_SQL)
+    df_q("stratified_sample", q_stratified_sample_spark, _STRATIFIED_SAMPLE_SQL)
+    df_q("cross_source_overlap", q_cross_source_overlap_spark,
+         _CROSS_SOURCE_SQL)
     df_q("text_stats", q_text_stats_spark, _TEXT_STATS_SQL)
     df_q("lang_id", q_lang_id_spark, _lang_id_sql())
     df_q("quality_score", q_quality_spark, _QUALITY_SQL)
