@@ -94,3 +94,27 @@ def test_near_dup_components(spark):
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1),
                    (10, 10), (11, 10),
                    (20, 20), (21, 20), (22, 20)}
+
+
+def test_winnow_fingerprints_semantics(spark):
+    """Winnowing invariants: shared long runs of tokens produce shared
+    fingerprints (plagiarism-detection property); disjoint texts share
+    none; short docs fall back to a single hash."""
+    from pyspark.sql import functions as F
+
+    from urbanistic_polygons_spark.functions import text as X
+
+    rows = [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "intro words alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "completely different content with other tokens here"),
+            (4, "tiny doc")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    tok = d.select("doc_id", X.tokens(F.col("text")).alias("toks"))
+    hs = tok.select("doc_id", X.winnow_token_hashes(F.col("toks")).alias("hs"))
+    g = hs.select("doc_id", X.winnow_from_hashes(F.col("hs")).alias("grams"))
+    fps = {r.doc_id: set(r.fps) for r in
+           g.select("doc_id", X.winnow_windows(F.col("grams")).alias("fps"))
+           .collect()}
+    assert fps[1] & fps[2]           # shared run -> shared fingerprints
+    assert not (fps[1] & fps[3])     # disjoint texts -> no overlap
+    assert len(fps[4]) == 1          # < k tokens -> single-hash fallback

@@ -471,6 +471,50 @@ def q_fingerprint_spark(spark, sf_dir):
                      F.count("*").over(w).cast("long").alias("group_size"))
 
 
+def q_winnow_fp_spark(spark, sf_dir):
+    """Rolling-hash document fingerprinting (winnowing, Schleimer et al.
+    SIGMOD'03): k-gram polynomial hashes over token hashes, distinct
+    sliding-window minima — one row per (doc, fingerprint).  Each stage's
+    array is materialized in its own projection so no HOF lambda
+    re-evaluates an upstream expression per element."""
+    from .functions import text as X
+    register_views(spark, sf_dir)
+    d = spark.table("documents")
+    tok = d.select("doc_id", X.tokens(F.col("text")).alias("toks"))
+    hs = tok.select("doc_id", X.winnow_token_hashes(F.col("toks")).alias("hs"))
+    g = hs.select("doc_id", X.winnow_from_hashes(F.col("hs")).alias("grams"))
+    fps = g.select("doc_id", X.winnow_windows(F.col("grams")).alias("fps"))
+    return fps.select("doc_id", F.explode_outer("fps").alias("fp"))
+
+
+_WINNOW_FP_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+                             x -> length(x) > 0) AS t
+  FROM documents
+), hs AS (
+  SELECT doc_id,
+         list_transform(t, x ->
+           CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT) % 2147483647) AS hs
+  FROM toks
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= 3 THEN
+           list_transform(range(1, CAST(len(hs) - 1 AS BIGINT)), i ->
+             (hs[i] * 17161 + hs[i+1] * 131 + hs[i+2]) % 2147483647)
+         ELSE [hs[1]] END AS g
+  FROM hs
+), wins AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, CAST(GREATEST(len(g) - 4, 0) + 2 AS BIGINT)),
+           j -> list_min(g[j:j+3])) AS mins
+  FROM g
+)
+SELECT doc_id, unnest(list_sort(list_distinct(mins))) AS fp FROM wins
+"""
+
+
 def q_simhash_spark(spark, sf_dir):
     from .operators.dedup import simhash
     register_views(spark, sf_dir)
@@ -1782,6 +1826,7 @@ FROM orders GROUP BY o_custkey, o_orderstatus""")
     df_q("lang_id", q_lang_id_spark, _lang_id_sql())
     df_q("quality_score", q_quality_spark, _QUALITY_SQL)
     df_q("fingerprint", q_fingerprint_spark, _FINGERPRINT_SQL)
+    df_q("winnow_fp", q_winnow_fp_spark, _WINNOW_FP_SQL)
     df_q("simhash", q_simhash_spark, _simhash_sql())
     df_q("minhash_sig", q_minhash_spark, _minhash_sql(k=8))
     df_q("minhash_lsh_pairs", q_minhash_lsh_spark, _minhash_lsh_sql(k=16, bands=8))

@@ -92,3 +92,40 @@ def hash31(s: Column) -> Column:
     without int64 overflow in either engine)."""
     return F.pmod(F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
                   F.lit(2147483647))
+
+
+WINNOW_B = 131
+WINNOW_P = 2147483647
+
+
+def winnow_token_hashes(toks: Column) -> Column:
+    """Stage 1 of winnowing (Schleimer et al., SIGMOD'03 rolling-hash
+    document fingerprints): per-token portable 31-bit hashes.  ``toks``
+    must be an ALREADY-MATERIALIZED token-array column, and each stage's
+    output must be materialized before the next stage's HOF consumes it
+    (see shingles_of_tokens' perf note — HOF lambdas are interpreted)."""
+    return F.transform(toks, lambda t: F.pmod(
+        F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+        F.lit(WINNOW_P)))
+
+
+def winnow_from_hashes(hs: Column, k: int = 3, w: int = 4) -> Column:
+    """Second stage of winnowing over a MATERIALIZED token-hash array
+    column: k-gram rolling hashes -> sliding-window minima -> distinct."""
+    b2 = WINNOW_B * WINNOW_B
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(hs) - F.lit(k)),
+        lambda i: (hs[i] * F.lit(b2) + hs[i + F.lit(1)] * F.lit(WINNOW_B)
+                   + hs[i + F.lit(2)]) % F.lit(WINNOW_P))
+    short = F.array(hs[0])  # < k tokens: single-hash fallback
+    return F.when(F.size(hs) >= k, grams).otherwise(short)
+
+
+def winnow_windows(grams: Column, w: int = 4) -> Column:
+    """Distinct sorted minima of every w-wide window over a MATERIALIZED
+    gram-array column (windows clamp to the array when it is shorter)."""
+    n_win = F.greatest(F.size(grams) - F.lit(w), F.lit(0))
+    mins = F.transform(
+        F.sequence(F.lit(0), n_win),
+        lambda j: F.array_min(F.slice(grams, j + F.lit(1), w)))
+    return F.array_sort(F.array_distinct(mins))
