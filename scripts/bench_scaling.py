@@ -56,10 +56,16 @@ def main() -> None:
     if prev_path.exists():
         try:
             prev = json.loads(prev_path.read_text())
-            if prev.get("efficiency", 0) >= eff:
-                # noisy-host best-of-runs: keep the better measurement
-                # (full iteration lists of the kept run stay in the file)
-                print(json.dumps({**prev, "note": "kept previous better run",
+            # Keep-best selects the CLEANEST measurement, not the biggest
+            # ratio: ambient neighbor noise only ever SLOWS a level, and a
+            # slowed N baseline INFLATES efficiency (observed: a run with
+            # N degraded 23s -> 31-36s reported 1.064 "super-linear").
+            # The least-noisy run is the one with the fastest N baseline;
+            # its efficiency is the honest number.
+            if prev.get("docs_per_sec_N", 0) >= lo["docs_per_sec"]:
+                print(json.dumps({**prev,
+                                  "note": "kept previous cleaner run "
+                                          "(faster N baseline)",
                                   "this_run_efficiency": round(eff, 3)}))
                 return
         except (ValueError, KeyError):
