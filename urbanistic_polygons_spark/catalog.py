@@ -260,7 +260,7 @@ def q_knn_snap_spark(spark, sf_dir):
     from .functions import cells as CELLS
     halo = orphans.select(
         "point_id", "cell_id", "px", "py",
-        F.explode(CELLS.neighbor_cells_ringed(
+        F.explode_outer(CELLS.neighbor_cells_ringed(
             F.col("cell_id"), max_ring=3)).alias("h"))
     cand = (halo.join(F.broadcast(index),
                       F.col("h.cell") == F.col("i_cell"))

@@ -69,7 +69,7 @@ def knn_snap(orphans: DataFrame, polygons: DataFrame, k: int = 1,
     # (the flagship plan had 118 exchanges).
     halo = pts.select(
         "doc_id", "span_idx", "cell_id", "lon", "lat",
-        F.explode(C.neighbor_cells_ringed(F.col("cell_id"),
+        F.explode_outer(C.neighbor_cells_ringed(F.col("cell_id"),
                                           max_ring=max_ring)).alias("h"))
     cand = halo.join(
         F.broadcast(centroids),
