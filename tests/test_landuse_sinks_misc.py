@@ -324,3 +324,38 @@ def test_mvt_geometry_roundtrip(spark):
     qy = ((float(maxy[0]) - pts[:, 1])
           / (float(maxy[0]) - float(miny[0])) * EXTENT).astype(np.int64)
     assert got == list(zip(qx.tolist(), qy.tolist()))
+
+
+def test_lineage_snapshot_isolation(spark, tmp_path):
+    """Snapshot semantics: uncommitted (crashed-attempt) files are
+    invisible, reads time-travel to any snapshot, rollback makes later
+    commits' partitions reprocessable."""
+    from urbanistic_polygons_spark.plans.lineage import LineageStore
+    store = LineageStore(str(tmp_path / "ckpt"))
+    df = spark.range(100).withColumn("part", F.col("id") % 4)
+
+    store.checkpoint(df.filter(F.col("part") < 2), "s", "part")   # snap 1
+    store.checkpoint(df, "s", "part")                             # snap 2
+    assert store.read("s").count() == 100
+
+    # crashed attempt: files land under a _commit id that was never
+    # committed -> a manifest-scoped read must NOT see them (a plain
+    # directory read would double-count after resume)
+    (df.filter(F.col("part") == 0).withColumn("_commit", F.lit(99))
+     .write.mode("append").partitionBy("part", "_commit")
+     .parquet(str(tmp_path / "ckpt" / "s")))
+    assert store.read("s").count() == 100
+
+    # time travel
+    assert store.read("s", as_of=1).count() == 50
+    snaps = store.snapshots("s")
+    assert [s["snapshot_id"] for s in snaps] == [1, 2]
+    assert snaps[1]["parent_id"] == 1 and snaps[1]["rows_added"] == 50
+
+    # rollback to snapshot 1: partitions 2/3 uncommitted again
+    store.rollback("s", 1)
+    assert store.committed_partitions("s") == [0, 1]
+    assert store.read("s").count() == 50
+    r = store.checkpoint(df, "s", "part")                         # snap 3
+    assert r.count() == 100
+    assert store.counters("s")["n_rows"] == 100

@@ -1,25 +1,32 @@
-"""Per-stage checkpoint / lineage / resume (north_rule requirement).
+"""Per-stage snapshot checkpoint / lineage / resume (north_rule).
 
 The reference memoizes per-tile graph files on disk and skips existing ones
-(TiledBarrierGraphBuilder.cs:45-46) — the Spark-native analog is a
-partitioned parquet checkpoint per stage plus a ``_lineage`` table of
-committed partitions and row counters:
+(TiledBarrierGraphBuilder.cs:45-46) — the Spark-native analog is an
+Iceberg-style SNAPSHOT log over partitioned parquet:
 
-- ``checkpoint(df, stage)`` writes the stage output partitioned by its
-  partition column and appends a lineage row (stage, partition, rows).
-- ``resume_filter(df, stage)`` anti-joins the input against committed
-  partitions so a killed run re-processes only missing partitions —
-  idempotent re-run (the S4 "file exists" skip, but transactional per
-  partition via parquet dir-rename atomicity).
+- every ``checkpoint(df, stage)`` call is one COMMIT: rows are written
+  under ``partition_col=<p>/_commit=<snapshot_id>/`` and a snapshot record
+  (id, parent, partitions added, row counters, wall time) is appended to
+  the stage's snapshot log;
+- reads are MANIFEST-SCOPED: only files whose ``_commit`` id appears in
+  the snapshot log are visible, so a crashed attempt's partially-written
+  partition files are invisible (a plain directory read-back would
+  double-count them after resume — the classic non-transactional-append
+  bug that snapshot isolation exists to prevent);
+- ``read(stage, as_of=<snapshot_id>)`` time-travels to any committed
+  snapshot; ``rollback(stage, snapshot_id)`` truncates the log so a later
+  resume reprocesses everything after it;
+- ``resume_filter`` / the anti-join inside ``checkpoint`` re-process only
+  partitions not committed by any visible snapshot — idempotent re-run
+  (the S4 "file exists" skip, but transactional per partition+commit).
 
-With Iceberg jars on the classpath the same API maps to snapshot commits;
-parquet is the in-sandbox fallback (import-gated below).
+With Iceberg jars on the classpath the same API maps onto real Iceberg
+snapshot commits; this parquet implementation is the in-sandbox fallback.
 """
 
 from __future__ import annotations
 
 import json
-import os
 import time
 from pathlib import Path
 
@@ -36,7 +43,8 @@ def _have_iceberg(spark: SparkSession) -> bool:
 
 
 class LineageStore:
-    """Filesystem-backed stage checkpoint store with row/partition counters."""
+    """Filesystem-backed snapshot store with per-commit lineage and
+    row/partition counters."""
 
     def __init__(self, root: str):
         self.root = Path(root)
@@ -45,14 +53,36 @@ class LineageStore:
     def _stage_dir(self, stage: str) -> Path:
         return self.root / stage
 
+    def _snapshots_path(self, stage: str) -> Path:
+        return self.root / f"_snapshots_{stage}.json"
+
     def _lineage_path(self, stage: str) -> Path:
+        # legacy aggregate counters (kept for the pipeline's stage report)
         return self.root / f"_lineage_{stage}.json"
 
-    def committed_partitions(self, stage: str) -> list:
-        p = self._lineage_path(stage)
+    # -- snapshot log --------------------------------------------------------
+
+    def _log(self, stage: str) -> dict:
+        p = self._snapshots_path(stage)
         if not p.exists():
-            return []
-        return json.loads(p.read_text())["partitions"]
+            return {"snapshots": [], "last_id": 0}
+        return json.loads(p.read_text())
+
+    def snapshots(self, stage: str) -> list[dict]:
+        return self._log(stage)["snapshots"]
+
+    def _visible(self, stage: str, as_of: int | None = None) -> list[dict]:
+        snaps = self.snapshots(stage)
+        if as_of is None:
+            return snaps
+        return [s for s in snaps if s["snapshot_id"] <= as_of]
+
+    def committed_partitions(self, stage: str,
+                             as_of: int | None = None) -> list:
+        parts: set = set()
+        for s in self._visible(stage, as_of):
+            parts.update(s["added_partitions"])
+        return sorted(parts)
 
     def counters(self, stage: str) -> dict:
         p = self._lineage_path(stage)
@@ -60,12 +90,20 @@ class LineageStore:
             return {}
         return json.loads(p.read_text())
 
+    # -- commit / read / rollback -------------------------------------------
+
     def checkpoint(self, df: DataFrame, stage: str,
                    partition_col: str) -> DataFrame:
-        """Write stage output partitioned by ``partition_col`` (appending
-        only partitions not yet committed), record lineage, return the
-        full checkpointed DataFrame (read back — cuts the upstream plan)."""
+        """One snapshot commit: append the not-yet-committed partitions
+        under a fresh ``_commit`` id, record the snapshot, and return the
+        manifest-scoped read-back (cuts the upstream plan)."""
         spark = df.sparkSession
+        log = self._log(stage)
+        snaps = log["snapshots"]
+        # ids are monotonic across ROLLBACKS too ("last_id" survives a log
+        # truncation): re-using a rolled-back id would resurrect that
+        # commit's still-on-disk files into the new snapshot's reads
+        cid = log["last_id"] + 1
         done = self.committed_partitions(stage)
         todo = df
         if done:
@@ -73,19 +111,65 @@ class LineageStore:
                 [(d,) for d in done], f"{partition_col} long")
             todo = df.join(F.broadcast(done_df), partition_col, "left_anti")
         out_dir = str(self._stage_dir(stage))
-        (todo.write.mode("append").partitionBy(partition_col).parquet(out_dir))
-        result = spark.read.parquet(out_dir)
-        # lineage: committed partitions + row counters
-        parts = [r[0] for r in result.select(partition_col).distinct().collect()]
-        n_rows = result.count()
+        (todo.withColumn("_commit", F.lit(cid))
+         .write.mode("append")
+         .partitionBy(partition_col, "_commit").parquet(out_dir))
+        # the files are on disk but INVISIBLE until the snapshot record
+        # lands — a kill between write and commit leaves orphan files that
+        # no read will ever include (and a re-run re-adds their partitions
+        # under a new commit id)
+        committed_read = (spark.read.parquet(out_dir)
+                          .filter(F.col("_commit") == cid))
+        added = [r[0] for r in
+                 committed_read.select(partition_col).distinct().collect()]
+        rows_added = committed_read.count()
+        snaps.append({
+            "snapshot_id": cid,
+            "parent_id": snaps[-1]["snapshot_id"] if snaps else None,
+            "stage": stage,
+            "added_partitions": sorted(added),
+            "rows_added": rows_added,
+            "committed_at": time.time(),
+        })
+        self._snapshots_path(stage).write_text(
+            json.dumps({"snapshots": snaps, "last_id": cid}))
+        all_parts = self.committed_partitions(stage)
         self._lineage_path(stage).write_text(json.dumps({
             "stage": stage,
-            "partitions": sorted(parts),
-            "n_partitions": len(parts),
-            "n_rows": n_rows,
+            "partitions": all_parts,
+            "n_partitions": len(all_parts),
+            "n_rows": sum(s["rows_added"] for s in snaps),
+            "current_snapshot": cid,
             "committed_at": time.time(),
         }))
-        return result
+        return self.read(stage)
+
+    def read(self, stage: str, as_of: int | None = None) -> DataFrame:
+        """Manifest-scoped read: only files of committed snapshots
+        (optionally time-traveled to ``as_of``) are visible.  The
+        ``_commit`` filter prunes whole partition directories."""
+        spark = SparkSession.getActiveSession()
+        ids = [s["snapshot_id"] for s in self._visible(stage, as_of)]
+        df = spark.read.parquet(str(self._stage_dir(stage)))
+        return df.filter(F.col("_commit").isin(ids)).drop("_commit")
+
+    def rollback(self, stage: str, snapshot_id: int) -> None:
+        """Truncate the snapshot log after ``snapshot_id``: later commits'
+        files become invisible and their partitions uncommitted, so the
+        next run reprocesses them."""
+        log = self._log(stage)
+        keep = [s for s in log["snapshots"] if s["snapshot_id"] <= snapshot_id]
+        self._snapshots_path(stage).write_text(
+            json.dumps({"snapshots": keep, "last_id": log["last_id"]}))
+        parts = self.committed_partitions(stage)
+        self._lineage_path(stage).write_text(json.dumps({
+            "stage": stage,
+            "partitions": parts,
+            "n_partitions": len(parts),
+            "n_rows": sum(s["rows_added"] for s in keep),
+            "current_snapshot": snapshot_id if keep else None,
+            "committed_at": time.time(),
+        }))
 
     def is_complete(self, stage: str, expected_partitions: int) -> bool:
         c = self.counters(stage)
