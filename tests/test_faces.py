@@ -140,3 +140,30 @@ def test_faces_kernel_partition_invariance():
     a = faces_kernel(pd.DataFrame({"anchor_cell": [89546969] * 3, **base}))
     b = faces_kernel(pd.DataFrame({"anchor_cell": [89546970] * 3, **base}))
     assert sorted(a["face_guid"]) == sorted(b["face_guid"])
+
+
+def test_equal_angle_candidates_collapse_last_writer_wins():
+    """SURVEY hard part: the reference's angular sort is a
+    SortedDictionary keyed by double — candidates at EXACTLY equal angles
+    collapse by indexer assignment (last writer wins).  Two collinear
+    outgoing edges have identical angles from any back point; the one
+    added LAST must win, and swapping insertion order flips the winner."""
+    def build(order):
+        g = TileGraph()
+        b = g.add_vertex(4.70, 51.20)          # back point (west)
+        h = g.add_vertex(4.71, 51.20)          # head
+        p1 = g.add_vertex(4.72, 51.20)         # east, nearer
+        p2 = g.add_vertex(4.73, 51.20)         # east, farther (collinear)
+        e_in = g.add_edge(b, h)
+        outs = []
+        for p in order:
+            outs.append(g.add_edge(h, p1 if p == 1 else p2))
+        return g, e_in, outs
+
+    g, e_in, outs = build([1, 2])
+    ne, nf, _, _ = g.next_right(e_in, True)
+    assert ne == outs[-1]                      # last-added collinear edge
+
+    g, e_in, outs = build([2, 1])
+    ne, nf, _, _ = g.next_right(e_in, True)
+    assert ne == outs[-1]
