@@ -37,9 +37,21 @@ HEADLINE = [
 ]
 
 
+def _cpu_probe() -> float:
+    """Fixed-work NumPy matmul seconds — a noise thermometer for the
+    shared host (measured quiet ~0.6s, noisy bursts 2.4s+).  Reported in
+    the JSON so a slow suite reading can be attributed to ambient load."""
+    import numpy as np
+    a = np.random.default_rng(1).random((2000, 2000))
+    t0 = time.perf_counter()
+    (a @ a).sum()
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    probe_before = _cpu_probe()
 
     from urbanistic_polygons_spark.catalog import build_catalog
     from urbanistic_polygons_spark.session import get_spark
@@ -88,6 +100,7 @@ def main() -> None:
         "docs_per_sec_spatial": docs_per_sec,
         "rows": rows,
         "runs": runs,
+        "cpu_probe_sec": [probe_before, _cpu_probe()],
     }))
     spark.stop()
 
