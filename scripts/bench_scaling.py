@@ -17,6 +17,7 @@ Env: SPARK_SCALING_N (default 1), SPARK_SCALING_POINTS (default 80e6).
 from __future__ import annotations
 
 import json
+import re
 import os
 import subprocess
 import sys
@@ -120,6 +121,17 @@ shows up as 50-70% sys time), and a cache-blocked PIP kernel
 
 Reproduce: `python scripts/bench_scaling.py`
 """)
+    # keep the BASELINE.md scaling row in sync with the live evidence
+    base = REPO / "BASELINE.md"
+    if base.exists():
+        txt = base.read_text()
+        new = (f"**{lo['docs_per_sec']:,.0f} docs/s at N, "
+               f"{hi['docs_per_sec']:,.0f} docs/s at 4N, efficiency "
+               f"{eff:.3f} ({'PASS' if eff >= 0.8 else 'FAIL'})**")
+        txt2 = re.sub(r"\*\*[\d,]+ docs/s at N, [\d,]+ docs/s at 4N, "
+                      r"efficiency [\d.]+ \((?:PASS|FAIL)\)\*\*", new, txt)
+        if txt2 != txt:
+            base.write_text(txt2)
     print(json.dumps(result))
 
 
