@@ -71,10 +71,17 @@ def main() -> None:
     # transparency — the sandbox host has bursty ambient neighbor load
     # (measured: identical code 3.8s vs 6.5s across quiet/noisy windows),
     # so min-of-3 is the noise control
+    # each repetition sweeps the queries in a DIFFERENT deterministic
+    # order (forward / reversed / half-rotated), so an ambient burst
+    # pinned to one wall-clock segment cannot land on the same queries'
+    # runs every sweep — min-of-3 then always has a clean reading
+    half = len(HEADLINE) // 2
+    orders = [list(HEADLINE), list(reversed(HEADLINE)),
+              HEADLINE[half:] + HEADLINE[:half]]
     runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
     rows: dict[str, int] = {}
-    for _ in range(3):
-        for name in HEADLINE:
+    for order in orders:
+        for name in order:
             fn = cat[name]["spark"]
             t0 = time.perf_counter()
             rows[name] = fn(spark, sf_dir).count()

@@ -12,7 +12,8 @@ AUDIT = ["pip_assign", "knn_snap", "tile_assign", "q3_shipping", "q5_region",
          "embedding_ivf", "embedding_near_dup", "embedding_ann", "asof_join",
          "salted_agg", "tile_pyramid", "global_topk", "landuse_rollup",
          "density_mvt", "winnow_fp", "stratified_sample",
-         "cross_source_overlap"]
+         "cross_source_overlap", "embedding_topk", "tile_serve_pyramid",
+         "faces_landuse"]
 out = ["""# Physical plan audit
 
 Generated from `.explain`/`executedPlan` at sf0.01 (regenerate with

@@ -149,15 +149,34 @@ def main() -> None:
     # warm JVM + python workers through the same plan shape (untimed)
     run_once(spark, cores, 200_000, nonce=10_000_000_000)
 
+    # ambient-noise attribution (same probe as bench.py): single-threaded
+    # numpy matmul wall time — ~0.35s on a quiet host, 2-5x under neighbor
+    # bursts that this VM's loadavg cannot see.  Measured BEFORE and AFTER
+    # the timed iters so a mid-run burst cannot hide between two quiet
+    # endpoint readings; the probe itself scales ~perfectly 1->4 procs
+    # (measured per-core slowdown 0.99-1.05x), so it reads AMBIENT load,
+    # not our own parallelism level.
+    import numpy as np
+    a = np.random.default_rng(1).random((2000, 2000))
+
+    def probe():
+        t0 = time.perf_counter()
+        (a @ a).sum()
+        return round(time.perf_counter() - t0, 3)
+
+    probe_before = probe()
     times, out = [], None
     for i in range(iters):
         elapsed, out = run_once(spark, cores, n_points, nonce=i)
         times.append(round(elapsed, 3))
+    probe_after = probe()
     best = min(times)
     print(json.dumps({
         "cores": cores, "n_points": n_points, "n_rects": N_RECTS,
         "iters": times, "elapsed_s": best,
         "docs_per_sec": round(n_points / best, 1),
+        "cpu_probe_s": probe_before,
+        "cpu_probes": [probe_before, probe_after],
         "out": {"cells": out[0], "hits": out[1]},
     }))
     spark.stop()

@@ -95,3 +95,68 @@ def test_build_faces_planarizes_crossings(spark):
     # reference and the 6x6 grid's 25+1=26)
     assert n_flat == 5, f"expected 4 triangles + outer, got {n_flat}"
     assert n_raw < 5  # without noding the diagonals cannot close triangles
+
+
+def test_graph_tables_guids_and_roundtrip(spark, tmp_path):
+    """build_graph_tables emits the reference's full per-tile artifact —
+    vertices/edges with content-addressed GUIDs
+    (Serialization/TiledBarrierGraphSerializer.cs:14-85): vertex GUID set
+    matches the closed-form lattice expectation, edge ids are distinct and
+    reference existing vertices, a straight edge's id reproduces from its
+    raw point sequence, and the LineageStore roundtrip GUID-dedups on read
+    (TiledPolygonGraphExtensions.cs:17-119)."""
+    import numpy as np
+
+    from urbanistic_polygons_spark import kernels
+    from urbanistic_polygons_spark.operators.graph_build import (
+        build_graph_tables, checkpoint_graph, read_graph,
+    )
+    from urbanistic_polygons_spark.plans.lineage import LineageStore
+
+    nodes_pdf, ways_pdf = datagen.gen_ways_grid(k=K, seed=44, jitter=0.0)
+    nodes = spark.createDataFrame(
+        nodes_pdf, schema="node_id long, lon double, lat double")
+    ways = spark.createDataFrame(
+        ways_pdf, schema="way_id long, nodes array<long>, tags map<string,string>")
+    vertices, edges = build_graph_tables(nodes, ways)
+    vp = vertices.toPandas()
+    ep = edges.toPandas()
+
+    # closed form: every street shares one tag collection, so G4 contracts
+    # exactly the three degree-2 corner vertices ((0,k-1),(k-1,0),(k-1,k-1));
+    # corner (0,0) keeps degree 3 via the spur and stays
+    lon0, lat0, step = 4.70, 51.20, 0.01
+
+    def vguid(lo, la):
+        tx, ty = kernels.world_to_tile(np.array([lo]), np.array([la]))
+        qx, qy = kernels.quantize(np.array([lo]), np.array([la]), tx, ty)
+        return kernels.vertex_guid(
+            qx[0], qy[0], kernels.tile_local_id(tx, ty)[0])
+
+    pts = [(lon0 + gx * step, lat0 + gy * step)
+           for gx in range(K) for gy in range(K)
+           if (gx, gy) not in {(0, K - 1), (K - 1, 0), (K - 1, K - 1)}]
+    pts.append((lon0 - step, lat0 - step))  # spur end
+    exp = {vguid(lo, la) for lo, la in pts}
+    assert set(vp.vertex_guid) == exp
+
+    # 2k(k-1) lattice segments + spur, minus 3 corner contractions
+    assert len(ep) == 2 * K * (K - 1) + 1 - 3
+    assert ep.edge_guid.nunique() == len(ep)
+    assert set(ep.v1_guid) | set(ep.v2_guid) == exp
+
+    # content-addressing spot-check: the (0,0)-(1,0) edge id reproduces
+    # from its raw forward point sequence
+    lo = np.array([lon0, lon0 + step])
+    la = np.array([lat0, lat0])
+    tx, ty = kernels.world_to_tile(lo, la)
+    qx, qy = kernels.quantize(lo, la, tx, ty)
+    tid = kernels.tile_local_id(tx, ty)
+    assert kernels.edge_guid(np.stack([qx, qy, tid], axis=1)) in set(ep.edge_guid)
+
+    # checkpoint -> read roundtrip preserves the GUID sets exactly
+    store = LineageStore(str(tmp_path / "g"))
+    checkpoint_graph(store, vertices, edges)
+    rv, re = read_graph(store)
+    assert set(rv.toPandas().vertex_guid) == exp
+    assert set(re.toPandas().edge_guid) == set(ep.edge_guid)

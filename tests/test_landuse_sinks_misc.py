@@ -200,6 +200,62 @@ def test_streaming_cell_counts(spark, tmp_path):
     assert out.cell_id.nunique() >= 2
 
 
+def test_streaming_cell_counts_append_late_drop(spark, tmp_path):
+    """Append-mode realism (VERDICT r2 #10): windows emit exactly once
+    when the advancing watermark closes them, and a late document whose
+    event time has fallen below the watermark is DROPPED — the complete
+    -mode smoke above can show neither behavior."""
+    from datetime import datetime, timedelta
+
+    from urbanistic_polygons_spark.streaming.ingest import (
+        DOC_STREAM_SCHEMA, stream_documents, streaming_cell_counts)
+
+    src = tmp_path / "docs_append"
+    src.mkdir()
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def write_batch(rows):
+        df = spark.createDataFrame(
+            [(d, ts,
+              [{"kind": "geo", "text": f"{BASE_LON:.6f},{BASE_LAT:.6f}",
+                "media_ref": "", "offset": 0}])
+             for d, ts in rows], DOC_STREAM_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(str(src))
+
+    agg = streaming_cell_counts(stream_documents(spark, str(src)),
+                                window="10 minutes",
+                                watermark="30 minutes")
+    q = (agg.writeStream.outputMode("append").format("memory")
+         .queryName("cell_counts_append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_append"))
+         .start())
+    try:
+        batches = [
+            # window [t0, t0+10): 3 docs
+            [("a1", t0), ("a2", t0 + timedelta(minutes=4)),
+             ("a3", t0 + timedelta(minutes=9))],
+            # t0+60 advances the watermark to t0+30 -> closes window 1
+            [("b1", t0 + timedelta(minutes=60))],
+            # LATE: event time t0+5 is below the watermark -> dropped
+            [("late", t0 + timedelta(minutes=5))],
+            # t0+120 -> watermark t0+90 closes window [t0+60, t0+70)
+            [("c1", t0 + timedelta(minutes=120))],
+        ]
+        for rows in batches:
+            write_batch(rows)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql(
+        "SELECT * FROM cell_counts_append ORDER BY window_start").toPandas()
+    # exactly the two CLOSED windows, each emitted once; the late doc is
+    # absent (window 1 stays n_docs=3) and never re-emits its window
+    assert len(got) == 2
+    assert got.iloc[0].window_start == t0 and got.iloc[0].n_docs == 3
+    assert (got.iloc[1].window_start == t0 + timedelta(minutes=60)
+            and got.iloc[1].n_docs == 1)
+
+
 def test_streaming_stateful_dedup(spark, tmp_path):
     """applyInPandasWithState exact dedup: first sighting emitted once,
     duplicates suppressed, state survives across micro-batches."""
@@ -326,6 +382,83 @@ def test_mvt_geometry_roundtrip(spark):
     assert got == list(zip(qx.tolist(), qy.tolist()))
 
 
+def _unpack_varints(buf: bytes) -> list[int]:
+    vals, i = [], 0
+    while i < len(buf):
+        v, shift = 0, 0
+        while True:
+            b = buf[i]
+            i += 1
+            v |= (b & 0x7F) << shift
+            shift += 7
+            if not b & 0x80:
+                break
+        vals.append(v)
+    return vals
+
+
+def _decode_polygon_ring_list(geom):
+    """MVT command integers -> list of rings, each a list of absolute
+    quantized (x, y); the delta cursor continues across MoveTo splits."""
+    rings, cur, i, x, y = [], None, 0, 0, 0
+    unzig = lambda v: (v >> 1) ^ -(v & 1)  # noqa: E731
+    while i < len(geom):
+        cmd = geom[i]
+        op, count = cmd & 7, cmd >> 3
+        i += 1
+        if op == 1:
+            cur = []
+            rings.append(cur)
+        if op in (1, 2):
+            for _ in range(count):
+                x += unzig(geom[i])
+                y += unzig(geom[i + 1])
+                cur.append((x, y))
+                i += 2
+    return rings
+
+
+def test_mvt_donut_rings():
+    """MVT 2.1 interior rings: a donut feature encodes exterior + hole in
+    ONE geometry stream — per-spec winding (exterior positive shoelace
+    area in tile space, hole negative) and a cursor that continues across
+    rings.  The hole is fed in the SAME lon-lat order as the exterior, so
+    the encoder must flip it (reference: the NTS MVT writer,
+    TileController.cs:78-141, handles general polygons)."""
+    from urbanistic_polygons_spark.sources.mvt import EXTENT, encode_tile
+
+    tx, ty = kernels.world_to_tile(
+        np.array([BASE_LON + S / 2]), np.array([BASE_LAT + S / 2]))
+    feat = {"rings": [_sq(0, 0, S, S), _sq(S / 4, S / 4, S / 2, S / 2)],
+            "props": {"cls": "water"}}
+    blob = encode_tile(int(tx[0]), int(ty[0]), 14, [feat])
+
+    layer = [v for f, w, v in _pb_fields(blob) if f == 3][0]
+    feature = [v for f, w, v in _pb_fields(layer) if f == 2][0]
+    geom = _unpack_varints([v for f, w, v in _pb_fields(feature) if f == 4][0])
+    rings = _decode_polygon_ring_list(geom)
+    assert len(rings) == 2 and all(len(r) == 4 for r in rings)
+
+    def shoelace(r):
+        return sum(x1 * y2 - x2 * y1
+                   for (x1, y1), (x2, y2) in zip(r, r[1:] + r[:1])) / 2
+
+    assert shoelace(rings[0]) > 0          # exterior: positive area
+    assert shoelace(rings[1]) < 0          # hole: negative area
+
+    # both rings hit the independently-quantized coordinates exactly
+    minx, miny, maxx, maxy = kernels.tile_box(
+        np.array([int(tx[0])]), np.array([int(ty[0])]))
+    for ring, src in zip(rings, feat["rings"]):
+        pts = np.array([p.split() for p in src.split(";")],
+                       dtype=np.float64)[:-1]
+        qx = ((pts[:, 0] - float(minx[0]))
+              / (float(maxx[0]) - float(minx[0])) * EXTENT).astype(np.int64)
+        qy = ((float(maxy[0]) - pts[:, 1])
+              / (float(maxy[0]) - float(miny[0])) * EXTENT).astype(np.int64)
+        assert set(ring) == set(zip(qx.tolist(), qy.tolist()))
+
+
 def test_lineage_snapshot_isolation(spark, tmp_path):
     """Snapshot semantics: uncommitted (crashed-attempt) files are
     invisible, reads time-travel to any snapshot, rollback makes later
@@ -359,3 +492,32 @@ def test_lineage_snapshot_isolation(spark, tmp_path):
     r = store.checkpoint(df, "s", "part")                         # snap 3
     assert r.count() == 100
     assert store.counters("s")["n_rows"] == 100
+
+
+def test_lineage_crash_resume_no_id_collision(spark, tmp_path):
+    """Commit-id collision on crash resume (ADVICE r2, high): a run that
+    dies BETWEEN the data write and the snapshot-log write must not share
+    its ``_commit`` id with the next successful attempt — the id is
+    durably reserved before any data lands."""
+    from urbanistic_polygons_spark.plans.lineage import LineageStore
+    store = LineageStore(str(tmp_path / "ckpt"))
+    df = spark.range(80).withColumn("part", F.col("id") % 4)
+
+    store.checkpoint(df.filter(F.col("part") < 2), "s", "part")   # snap 1
+
+    # simulate the crash: reserve the id and write the data files exactly
+    # as checkpoint() does, then die before the snapshot record lands
+    cid = store._reserve_commit_id("s")
+    (df.filter(F.col("part") >= 2).withColumn("_commit", F.lit(cid))
+     .write.mode("append").partitionBy("part", "_commit")
+     .parquet(str(tmp_path / "ckpt" / "s")))
+    assert store.read("s").count() == 40          # orphans invisible
+
+    # resume: the next attempt must pick a FRESH id (not cid) and the
+    # re-appended partitions must not double-count with the orphans
+    out = store.checkpoint(df, "s", "part")       # snap under cid+1
+    snaps = store.snapshots("s")
+    assert snaps[-1]["snapshot_id"] == cid + 1
+    assert out.count() == 80
+    assert store.read("s").count() == 80
+    assert snaps[-1]["rows_added"] == 40

@@ -160,8 +160,7 @@ def gen_ways_grid(k: int = 6, seed: int = 44,
             nid[(gx, gy)] = i
             # tiny deterministic jitter so no degenerate colinearity;
             # jitter=0.0 gives exact closed-form coordinates (the DuckDB
-            # faces oracle needs them) while consuming the SAME rng draws
-            # so the downstream landuse-cell picks are unchanged
+            # faces/landuse oracles need them)
             jx = float(rng.uniform(-step * 0.05, step * 0.05)) * jitter
             jy = float(rng.uniform(-step * 0.05, step * 0.05)) * jitter
             nodes.append((i, lon0 + gx * step + jx, lat0 + gy * step + jy))
@@ -180,21 +179,29 @@ def gen_ways_grid(k: int = 6, seed: int = 44,
     nodes.append((spur_id, lon0 - step, lat0 - step))
     ways.append((wid, [nid[(0, 0)], spur_id], {"highway": "residential"}))
     wid += 1
-    # closed landuse rings overlapping grid faces
-    classes = ["residential", "industrial", "water"]
-    for i in range(3):
-        gx, gy = int(rng.integers(0, k - 1)), int(rng.integers(0, k - 1))
-        ring_pts = []
+    # closed landuse rings overlapping grid faces: axis-aligned rects on
+    # QUARTER-step lattice offsets, placed closed-form (no rng) — every
+    # face∩landuse ratio is an exact multiple of 1/16 (and the outer face's
+    # an exact multiple of 1/((k-1)^2*16)), so the faces_landuse catalog
+    # query has a bit-exact integer-permyriad DuckDB oracle while still
+    # exercising the REAL float clip kernel (VERDICT r2 #1b).  Tags all
+    # resolve in the landuse dim (the old ("landuse","water") silently
+    # classified to null and dropped the third ring).
+    # spans in quarter-step units relative to the anchor cell (x0,y0,x1,y1)
+    rects = [
+        ({"landuse": "residential"}, (1, 2), (1, 1, 7, 7)),
+        ({"landuse": "industrial"}, (k - 3, 1), (1, 2, 6, 5)),
+        ({"natural": "water"}, (1, 2), (2, 2, 4, 4)),
+    ]
+    for tags, (gx, gy), (qx0, qy0, qx1, qy1) in rects:
         base = len(nodes)
-        cxl = lon0 + (gx + 0.5) * step
-        cyl = lat0 + (gy + 0.5) * step
-        for j in range(4):
-            ang = j * np.pi / 2 + 0.3
-            ring_pts.append(base + j)
-            nodes.append((base + j,
-                          cxl + 0.6 * step * np.cos(ang),
-                          cyl + 0.6 * step * np.sin(ang)))
-        ways.append((wid, ring_pts + [ring_pts[0]], {"landuse": classes[i]}))
+        xs = (lon0 + (gx + qx0 / 4) * step, lon0 + (gx + qx1 / 4) * step)
+        ys = (lat0 + (gy + qy0 / 4) * step, lat0 + (gy + qy1 / 4) * step)
+        corners = [(xs[0], ys[0]), (xs[1], ys[0]), (xs[1], ys[1]), (xs[0], ys[1])]
+        for j, (cx, cy) in enumerate(corners):
+            nodes.append((base + j, cx, cy))
+        ring_pts = [base, base + 1, base + 2, base + 3]
+        ways.append((wid, ring_pts + [ring_pts[0]], tags))
         wid += 1
     nodes_df = pd.DataFrame(nodes, columns=["node_id", "lon", "lat"])
     ways_df = pd.DataFrame(ways, columns=["way_id", "nodes", "tags"])

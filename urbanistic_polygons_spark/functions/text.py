@@ -117,7 +117,11 @@ def winnow_from_hashes(hs: Column, k: int = 3, w: int = 4) -> Column:
         F.sequence(F.lit(0), F.size(hs) - F.lit(k)),
         lambda i: (hs[i] * F.lit(b2) + hs[i + F.lit(1)] * F.lit(WINNOW_B)
                    + hs[i + F.lit(2)]) % F.lit(WINNOW_P))
-    short = F.array(hs[0])  # < k tokens: single-hash fallback
+    # < k tokens: single-hash fallback; zero-token docs yield an EMPTY
+    # array (hs[0] on [] is null — left in, it would survive
+    # array_distinct and emit a null fp row, while DuckDB's list_distinct
+    # strips NULLs and emits nothing; ADVICE r2)
+    short = F.filter(F.array(hs[0]), lambda v: v.isNotNull())
     return F.when(F.size(hs) >= k, grams).otherwise(short)
 
 
@@ -128,4 +132,7 @@ def winnow_windows(grams: Column, w: int = 4) -> Column:
     mins = F.transform(
         F.sequence(F.lit(0), n_win),
         lambda j: F.array_min(F.slice(grams, j + F.lit(1), w)))
-    return F.array_sort(F.array_distinct(mins))
+    # array_min of an empty slice is null (empty gram array) — strip, so
+    # zero-token docs fingerprint to [] like the DuckDB oracle
+    return F.array_sort(F.array_distinct(
+        F.filter(mins, lambda m: m.isNotNull())))

@@ -409,6 +409,11 @@ def polygon_area(x: np.ndarray, y: np.ndarray) -> float:
     return abs(signed_area(x, y))
 
 
+# incremented whenever ear clipping hits the no-ear degenerate fallback
+# (per Python process; see blocks() below)
+TRIANGULATE_FALLBACKS = 0
+
+
 def triangulate_ear(x: np.ndarray, y: np.ndarray) -> list[tuple[int, int, int]]:
     """Ear-clipping triangulation of a simple polygon (any orientation).
 
@@ -441,6 +446,17 @@ def triangulate_ear(x: np.ndarray, y: np.ndarray) -> list[tuple[int, int, int]]:
         return ((xs[j] - xs[i]) * (ys[p] - ys[i])
                 - (ys[j] - ys[i]) * (xs[p] - xs[i]))
 
+    def blocks(p, i, j, k):
+        # a vertex COINCIDENT with an ear corner (repeated points /
+        # grid-aligned rings) must not block the ear: the >=0 boundary
+        # test would otherwise reject every ear and force the degenerate
+        # fallback on perfectly valid rings (ADVICE r2)
+        if ((xs[p] == xs[i] and ys[p] == ys[i])
+                or (xs[p] == xs[j] and ys[p] == ys[j])
+                or (xs[p] == xs[k] and ys[p] == ys[k])):
+            return False
+        return point_in_tri(p, i, j, k)
+
     guard = 0
     while len(order) > 3 and guard < 4 * n * n:
         guard += 1
@@ -450,7 +466,7 @@ def triangulate_ear(x: np.ndarray, y: np.ndarray) -> list[tuple[int, int, int]]:
             i, j, k = order[(t - 1) % m], order[t], order[(t + 1) % m]
             if cross(i, j, k) <= 0:  # reflex or collinear — not an ear
                 continue
-            if any(point_in_tri(p, i, j, k)
+            if any(blocks(p, i, j, k)
                    for p in order if p not in (i, j, k)):
                 continue
             tris.append((i, j, k))
@@ -458,6 +474,10 @@ def triangulate_ear(x: np.ndarray, y: np.ndarray) -> list[tuple[int, int, int]]:
             clipped = True
             break
         if not clipped:  # degenerate ring (collinear runs): drop a vertex
+            # surfaced, not silent: per-process counter (executor-local —
+            # pytest and local-mode kernels read it directly)
+            global TRIANGULATE_FALLBACKS
+            TRIANGULATE_FALLBACKS += 1
             order.pop(0)
     if len(order) == 3:
         tris.append(tuple(order))

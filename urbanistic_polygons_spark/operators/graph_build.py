@@ -337,6 +337,116 @@ def planarize_edges(edges: DataFrame) -> DataFrame:
     return flat_edges
 
 
+GRAPH_EDGES_SCHEMA = (
+    "edge_guid string, v1_guid string, v2_guid string, "
+    "v1_tile long, v2_tile long, way_id long, seg long, tag_sig string, "
+    "shape_pts string, v1_lon double, v1_lat double, "
+    "v2_lon double, v2_lat double")
+
+
+def _edge_guids_kernel(batches):
+    """mapInPandas kernel: per edge, quantize the COMPLETE forward point
+    sequence (v1 + shape + v2) to each point's own z14 tile grid and derive
+    the content-addressed UUIDv5 ids (reference
+    Guids/EdgeGuidGenerator.cs:20-39, VertexGuidGenerator.cs:21-30).
+    A Python loop over the Arrow batch on executors — never per-row
+    through Spark."""
+    import numpy as np
+    import pandas as pd
+
+    from .. import kernels
+
+    for pdf in batches:
+        n = len(pdf)
+        eg = np.empty(n, dtype=object)
+        v1g = np.empty(n, dtype=object)
+        v2g = np.empty(n, dtype=object)
+        t1 = np.empty(n, dtype=np.int64)
+        t2 = np.empty(n, dtype=np.int64)
+        for i, r in enumerate(pdf.itertuples(index=False)):
+            lons = [r.v1_lon]
+            lats = [r.v1_lat]
+            if isinstance(r.shape_pts, str) and r.shape_pts:
+                for p in r.shape_pts.split(";"):
+                    a, b = p.split(" ")
+                    lons.append(float(a))
+                    lats.append(float(b))
+            lons.append(r.v2_lon)
+            lats.append(r.v2_lat)
+            lo = np.asarray(lons, np.float64)
+            la = np.asarray(lats, np.float64)
+            tx, ty = kernels.world_to_tile(lo, la)
+            qx, qy = kernels.quantize(lo, la, tx, ty)
+            tid = kernels.tile_local_id(tx, ty)
+            eg[i] = kernels.edge_guid(np.stack([qx, qy, tid], axis=1))
+            v1g[i] = kernels.vertex_guid(qx[0], qy[0], tid[0])
+            v2g[i] = kernels.vertex_guid(qx[-1], qy[-1], tid[-1])
+            t1[i] = tid[0]
+            t2[i] = tid[-1]
+        yield pd.DataFrame({
+            "edge_guid": eg, "v1_guid": v1g, "v2_guid": v2g,
+            "v1_tile": t1, "v2_tile": t2,
+            "way_id": pdf["way_id"], "seg": pdf["seg"],
+            "tag_sig": pdf["tag_sig"], "shape_pts": pdf["shape_pts"],
+            "v1_lon": pdf["v1_lon"], "v1_lat": pdf["v1_lat"],
+            "v2_lon": pdf["v2_lon"], "v2_lat": pdf["v2_lat"]})
+
+
+def build_graph_tables(nodes: DataFrame, ways: DataFrame,
+                       planarize_crossings: bool = True,
+                       prune: bool = True) -> tuple[DataFrame, DataFrame]:
+    """The reference's full per-tile graph artifact: VERTICES and EDGES
+    tables with content-addressed GUIDs — the cross-partition join keys
+    (SURVEY §1.1) — alongside the faces that build_faces_from_ways emits
+    (reference Serialization/TiledBarrierGraphSerializer.cs:14-85
+    checkpoints all three per tile).
+
+    Returns (vertices, edges):
+      vertices(vertex_guid, tile_id, lon, lat) — endpoint vertices,
+        GUID-deduped (the id IS the quantized tiled location);
+      edges(edge_guid, v1_guid, v2_guid, v1_tile, v2_tile, way_id, seg,
+        tag_sig, shape_pts, v1_lon..v2_lat) — standardized, G4-contracted.
+    """
+    barriers = classify_barriers(ways)
+    edges = split_ways_to_edges(nodes, barriers)
+    if planarize_crossings:
+        edges = planarize_edges(edges)
+    if prune:
+        edges = prune_shape_points(edges)
+    g_edges = edges.mapInPandas(_edge_guids_kernel, GRAPH_EDGES_SCHEMA)
+    v1 = g_edges.select(F.col("v1_guid").alias("vertex_guid"),
+                        F.col("v1_tile").alias("tile_id"),
+                        F.col("v1_lon").alias("lon"),
+                        F.col("v1_lat").alias("lat"))
+    v2 = g_edges.select(F.col("v2_guid").alias("vertex_guid"),
+                        F.col("v2_tile").alias("tile_id"),
+                        F.col("v2_lon").alias("lon"),
+                        F.col("v2_lat").alias("lat"))
+    vertices = v1.unionByName(v2).dropDuplicates(["vertex_guid"])
+    return vertices, g_edges
+
+
+def checkpoint_graph(store, vertices: DataFrame, edges: DataFrame,
+                     stage_prefix: str = "graph"):
+    """S4 for the entity tables: snapshot-commit vertices/edges through the
+    LineageStore partitioned by tile, returning the manifest-scoped
+    GUID-deduped read-back (resume re-processes only uncommitted tiles)."""
+    v = store.checkpoint(vertices, f"{stage_prefix}_vertices", "tile_id")
+    e = store.checkpoint(edges, f"{stage_prefix}_edges", "v1_tile")
+    return (v.dropDuplicates(["vertex_guid"]),
+            e.dropDuplicates(["edge_guid"]))
+
+
+def read_graph(store, stage_prefix: str = "graph"):
+    """Read the checkpointed entity tables with cross-tile GUID dedup —
+    the reference dedups vertices/edges when composing tiles on read
+    (TiledPolygonGraphExtensions.cs:17-119)."""
+    return (store.read(f"{stage_prefix}_vertices")
+            .dropDuplicates(["vertex_guid"]),
+            store.read(f"{stage_prefix}_edges")
+            .dropDuplicates(["edge_guid"]))
+
+
 def build_faces_from_ways(nodes: DataFrame, ways: DataFrame,
                           max_ring: int = 4,
                           planarize_crossings: bool = True) -> DataFrame:

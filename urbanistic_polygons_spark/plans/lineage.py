@@ -92,18 +92,31 @@ class LineageStore:
 
     # -- commit / read / rollback -------------------------------------------
 
+    def _reserve_commit_id(self, stage: str) -> int:
+        """Durably reserve the next ``_commit`` id BEFORE any data write:
+        the log is persisted with ``last_id`` bumped while the snapshot
+        record is still absent (= pending).  A crash between the data
+        write and the commit record leaves orphan files under an id that
+        no later attempt can ever reuse — without this reservation a
+        resumed run would recompute the SAME id, append into the same
+        ``_commit`` directories, and double-count rows on read."""
+        log = self._log(stage)
+        cid = log["last_id"] + 1
+        self._snapshots_path(stage).write_text(
+            json.dumps({"snapshots": log["snapshots"], "last_id": cid}))
+        return cid
+
     def checkpoint(self, df: DataFrame, stage: str,
                    partition_col: str) -> DataFrame:
         """One snapshot commit: append the not-yet-committed partitions
         under a fresh ``_commit`` id, record the snapshot, and return the
         manifest-scoped read-back (cuts the upstream plan)."""
         spark = df.sparkSession
-        log = self._log(stage)
-        snaps = log["snapshots"]
         # ids are monotonic across ROLLBACKS too ("last_id" survives a log
         # truncation): re-using a rolled-back id would resurrect that
         # commit's still-on-disk files into the new snapshot's reads
-        cid = log["last_id"] + 1
+        cid = self._reserve_commit_id(stage)
+        snaps = self._log(stage)["snapshots"]
         done = self.committed_partitions(stage)
         todo = df
         if done:

@@ -60,27 +60,44 @@ def _mvt_value(s) -> bytes:
     return _tag(1, 2) + _varint(len(payload)) + payload
 
 
-def _geometry_polygon(qx: np.ndarray, qy: np.ndarray) -> list[int]:
-    """Command-integer sequence for one closed ring: MoveTo(1) + LineTo(n-1)
-    + ClosePath, coordinates delta-encoded zigzag."""
+def _ring_signed_area(qx: np.ndarray, qy: np.ndarray) -> float:
+    """Surveyor's (shoelace) formula in tile coordinate space — the MVT 2.1
+    §4.3.3.3 winding test: exterior rings MUST have positive area,
+    interior rings negative."""
+    x2 = np.roll(qx, -1)
+    y2 = np.roll(qy, -1)
+    return float(np.sum(qx.astype(np.float64) * y2 - x2 * qy)) / 2.0
+
+
+def _geometry_polygon(rings: list[tuple[np.ndarray, np.ndarray]]) -> list[int]:
+    """Command-integer sequence for one polygon: exterior ring first, then
+    any interior rings (holes) — each MoveTo(1) + LineTo(n-1) + ClosePath,
+    coordinates delta-encoded zigzag with the cursor CONTINUING across
+    rings (MVT 2.1 §4.3.4.4).  Winding is normalized per spec: exterior
+    positive area, interiors negative (reference NTS MVT writer handles
+    these rings in TileController.cs:78-141 / LanduseTileController.cs:85-126)."""
     cmds: list[int] = []
-    # drop closing dup (ClosePath implies it)
-    if len(qx) > 1 and qx[0] == qx[-1] and qy[0] == qy[-1]:
-        qx, qy = qx[:-1], qy[:-1]
-    if len(qx) < 3:
-        return []
-    cmds.append((1 << 3) | 1)  # MoveTo, count 1
     px, py = 0, 0
-    cmds.append(_zigzag(int(qx[0]) - px))
-    cmds.append(_zigzag(int(qy[0]) - py))
-    px, py = int(qx[0]), int(qy[0])
-    n = len(qx) - 1
-    cmds.append((n << 3) | 2)  # LineTo, count n
-    for i in range(1, len(qx)):
-        cmds.append(_zigzag(int(qx[i]) - px))
-        cmds.append(_zigzag(int(qy[i]) - py))
-        px, py = int(qx[i]), int(qy[i])
-    cmds.append((1 << 3) | 7)  # ClosePath
+    for ri, (qx, qy) in enumerate(rings):
+        # drop closing dup (ClosePath implies it)
+        if len(qx) > 1 and qx[0] == qx[-1] and qy[0] == qy[-1]:
+            qx, qy = qx[:-1], qy[:-1]
+        if len(qx) < 3:
+            continue
+        area = _ring_signed_area(qx, qy)
+        if (ri == 0 and area < 0) or (ri > 0 and area > 0):
+            qx, qy = qx[::-1], qy[::-1]
+        cmds.append((1 << 3) | 1)  # MoveTo, count 1
+        cmds.append(_zigzag(int(qx[0]) - px))
+        cmds.append(_zigzag(int(qy[0]) - py))
+        px, py = int(qx[0]), int(qy[0])
+        n = len(qx) - 1
+        cmds.append((n << 3) | 2)  # LineTo, count n
+        for i in range(1, len(qx)):
+            cmds.append(_zigzag(int(qx[i]) - px))
+            cmds.append(_zigzag(int(qy[i]) - py))
+            px, py = int(qx[i]), int(qy[i])
+        cmds.append((1 << 3) | 7)  # ClosePath
     return cmds
 
 
@@ -102,11 +119,20 @@ def encode_tile(tile_x: int, tile_y: int, zoom: int,
 
     feats_payload = b""
     for fid, feat in enumerate(features):
-        pts = np.array([p.split() for p in feat["ring"].split(";")],
-                       dtype=np.float64)
-        qx = ((pts[:, 0] - min_lon) / (max_lon - min_lon) * EXTENT).astype(np.int64)
-        qy = ((max_lat - pts[:, 1]) / (max_lat - min_lat) * EXTENT).astype(np.int64)
-        cmds = _geometry_polygon(qx, qy)
+        # "rings": [exterior, hole, ...] (general polygons, e.g. landuse
+        # served directly via the E3 path); "ring": single-ring shorthand
+        # (faces from the planar walk are hole-free by construction)
+        ring_strs = feat.get("rings") or [feat["ring"]]
+        rings = []
+        for rs in ring_strs:
+            pts = np.array([p.split() for p in rs.split(";")],
+                           dtype=np.float64)
+            qx = ((pts[:, 0] - min_lon) / (max_lon - min_lon)
+                  * EXTENT).astype(np.int64)
+            qy = ((max_lat - pts[:, 1]) / (max_lat - min_lat)
+                  * EXTENT).astype(np.int64)
+            rings.append((qx, qy))
+        cmds = _geometry_polygon(rings)
         if not cmds:
             continue
         tags: list[int] = []
