@@ -1205,15 +1205,23 @@ SELECT * FROM inner_faces UNION ALL SELECT * FROM outer_face
 def _grid_landuse(spark):
     """Closed classified ways -> landuse polygon layer (S8)."""
     from .operators.classify import classify_landuse_ways
-    from .operators.graph_build import resolve_way_nodes
     nodes, ways = _grid_graph(spark)
     lu = classify_landuse_ways(spark, ways)
-    pts = resolve_way_nodes(nodes, lu.select("way_id", "nodes"))
+    # cls rides the explode + groupBy shuffle (FIRST per way) instead of a
+    # second way-keyed join-back — lu has ONE row per landuse way, the
+    # same cardinality as the rings, so a join here is an avoidable
+    # full-width shuffle at scale (and at fixture scale an SMJ in the
+    # audited plan)
+    pts = (lu.select("way_id", "cls",
+                     F.posexplode("nodes").alias("pos", "node_id"))
+           .join(nodes.select("node_id", "lon", "lat"), "node_id"))
     rings = (
         pts.groupBy("way_id")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "lon", "lat"))).alias("p"))
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "lon", "lat"))).alias("p"),
+             F.first("cls").alias("cls"))
         .select(
             F.col("way_id").alias("lu_id"),
+            "cls",
             F.concat_ws(";", F.transform(
                 "p", lambda q: F.format_string("%.9f %.9f", q["lon"], q["lat"]))).alias("ring"),
             F.array_min(F.transform("p", lambda q: q["lon"])).alias("min_lon"),
@@ -1221,7 +1229,6 @@ def _grid_landuse(spark):
             F.array_max(F.transform("p", lambda q: q["lon"])).alias("max_lon"),
             F.array_max(F.transform("p", lambda q: q["lat"])).alias("max_lat"),
         )
-        .join(lu.select(F.col("way_id").alias("lu_id"), "cls"), "lu_id")
     )
     return rings
 
@@ -1241,8 +1248,8 @@ def q_faces_landuse_spark(spark, sf_dir):
     faces = _grid_faces(spark)
     fl = assign_landuse(faces, _grid_landuse(spark))
     dom = dominant_type(fl)
-    return (dom.join(faces.select("face_guid", "min_lon", "min_lat",
-                                  "max_lon", "max_lat"), "face_guid")
+    return (dom.join(F.broadcast(faces.select("face_guid", "min_lon", "min_lat",
+                                              "max_lon", "max_lat")), "face_guid")
             .select("min_lon", "min_lat", "max_lon", "max_lat",
                     "dominant_cls",
                     F.round(F.col("dominant_pct") * 10000, 0)

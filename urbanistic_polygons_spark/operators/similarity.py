@@ -63,17 +63,31 @@ def brute_force_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
     """Top-k neighbors for each query vector by integer dot product.
 
     Output: (query_id, neighbor_id, dot, rank) — rank 1..k, deterministic
-    tie-break on neighbor_id.  The query side is a broadcast (tiny), so the
-    corpus never shuffles; the per-query top-k is the two-phase
-    partial-merge reduction (no single-partition window sort).
+    tie-break on neighbor_id.  The handful of query vectors is collected
+    (scalar-size) into a LITERAL array column, so scoring is purely
+    map-side over the corpus — no join of any kind, not even a broadcast
+    NLJ — and the per-query top-k is the two-phase partial-merge
+    reduction (no single-partition window sort).  For thousands+ of
+    queries the literal would bloat the plan: that regime switches to a
+    broadcast equi/theta join instead.
     """
     base = embeddings.select(F.col(id_col), quantized(F.col(vec_col)).alias("q"))
-    queries = (base.filter(F.col(id_col).isin(query_ids))
-               .select(F.col(id_col).alias("query_id"), F.col("q").alias("qv")))
+    qrows = (base.filter(F.col(id_col).isin(query_ids))
+             .select(F.col(id_col).alias("query_id"), F.col("q").alias("qv"))
+             .collect())
+    qlits = F.array(*[
+        F.struct(
+            F.lit(int(r["query_id"])).cast("long").alias("query_id"),
+            F.array(*[F.lit(int(v)) for v in r["qv"]]).cast("array<long>")
+            .alias("qv"))
+        for r in sorted(qrows, key=lambda r: r["query_id"])])
     scored = (
-        base.join(F.broadcast(queries), F.col(id_col) != F.col("query_id"))
-        .select("query_id", F.col(id_col).alias("neighbor_id"),
-                int_dot(F.col("q"), F.col("qv")).alias("dot"))
+        base.select(F.col(id_col), "q",
+                    F.explode_outer(qlits).alias("qq"))
+        .filter(F.col(id_col) != F.col("qq.query_id"))
+        .select(F.col("qq.query_id").alias("query_id"),
+                F.col(id_col).alias("neighbor_id"),
+                int_dot(F.col("q"), F.col("qq.qv")).alias("dot"))
     )
     return topk_per_query(scored, k)
 
@@ -113,6 +127,20 @@ def int_l2(a, b):
                        F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
+def _lit_centroids(centroids: DataFrame):
+    """Collect the <=16 deterministic centroids into a LITERAL
+    array-of-structs column — the scalar-size collect that lets every
+    centroid computation run purely map-side (no NLJ, no shuffle)."""
+    rows = sorted(centroids.select("list_id", "c").collect(),
+                  key=lambda r: r["list_id"])
+    return F.array(*[
+        F.struct(
+            F.lit(int(r["list_id"])).cast("long").alias("l"),
+            F.array(*[F.lit(int(v)) for v in r["c"]]).cast("array<long>")
+            .alias("c"))
+        for r in rows])
+
+
 def _assign_lists(base: DataFrame, centroids: DataFrame,
                   id_col: str) -> DataFrame:
     """Nearest-centroid assignment, ZERO-shuffle (VERDICT r2): the <=16
@@ -120,14 +148,7 @@ def _assign_lists(base: DataFrame, centroids: DataFrame,
     array-of-structs column and compute the integer-L2 argmin entirely
     map-side — no broadcast NLJ row blowup, no groupBy(vec_id) shuffle,
     no join-back.  Returns (vec_id, q, list_id)."""
-    rows = sorted(centroids.select("list_id", "c").collect(),
-                  key=lambda r: r["list_id"])
-    lit_cents = F.array(*[
-        F.struct(
-            F.lit(int(r["list_id"])).cast("long").alias("l"),
-            F.array(*[F.lit(int(v)) for v in r["c"]]).cast("array<long>")
-            .alias("c"))
-        for r in rows])
+    lit_cents = _lit_centroids(centroids)
     # per row: 16 exact integer L2 distances against literal vectors, then
     # struct-min argmin (d2 asc, list_id asc tie-break — same order as the
     # former groupBy argmin).  q is a bare column reference, so the HOF
@@ -189,14 +210,18 @@ def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
     inv = _assign_lists(base, cent, id_col)
     queries = (base.filter(F.col(id_col).isin(query_ids))
                .select(F.col(id_col).alias("query_id"), F.col("q").alias("qv")))
-    wp = Window.partitionBy("query_id").orderBy("pd", "list_id")
+    # probe selection map-side against LITERAL centroids (no crossJoin,
+    # no window): per query, nprobe smallest (int-L2, list_id) structs —
+    # array_sort's (pd asc, list_id asc) order matches the former
+    # row_number ordering exactly
+    pds = F.transform(_lit_centroids(cent), lambda s: F.struct(
+        int_l2(F.col("qv"), s["c"]).alias("pd"), s["l"].alias("list_id")))
     probes = (
-        queries.crossJoin(F.broadcast(cent))
-        .select("query_id", "qv", "list_id",
-                int_l2(F.col("qv"), F.col("c")).alias("pd"))
-        .withColumn("pr", F.row_number().over(wp))
-        .filter(F.col("pr") <= nprobe)
-        .select("query_id", "qv", "list_id")
+        queries.select(
+            "query_id", "qv",
+            F.explode_outer(F.slice(F.array_sort(pds), 1, nprobe))
+            .alias("pl"))
+        .select("query_id", "qv", F.col("pl.list_id").alias("list_id"))
     )
     scored = (
         inv.join(F.broadcast(probes), "list_id")
