@@ -1534,6 +1534,121 @@ FROM ex2 GROUP BY x // 4, y // 4
 """
 
 
+def q_merge_faces_spark(spark, sf_dir):
+    """Merge-by-similarity — the reference's README step 3, which its code
+    never implements (only the resistance weight table exists,
+    DefaultMergeFactorCalculator.cs:14-32; SURVEY.md:15-18).  Implemented
+    Spark-first in operators/merge.py: interior faces merge when the
+    strongest barrier on their shared boundary has resistance <= threshold
+    AND their dominant landuse class matches; regions = connected
+    components (min-label propagation).
+
+    Fixture: the lattice with two streets promoted to stronger barriers
+    (y=3 horizontal -> secondary res 8, x=2 vertical -> tertiary res 4;
+    threshold 3 blocks both).  Face GEOMETRY is tag-independent, so the
+    memoized fixture faces are reused; only the resistance segments and
+    the dominance gate see the modified tags.  Output: one row per
+    interior face with its region label (min member bbox corner) and
+    region size — all exact closed-form doubles/integers."""
+    from .operators.classify import classify_barrier_ways
+    from .operators.graph_build import (classify_barriers, planarize_edges,
+                                        split_ways_to_edges)
+    from .operators.landuse_join import assign_landuse, dominant_type
+    from .operators.merge import merge_faces, segment_resistance
+
+    nodes, ways = _grid_graph(spark)
+    ways = ways.withColumn(
+        "tags",
+        F.when(F.col("way_id") == 3,
+               F.create_map(F.lit("highway"), F.lit("secondary")))
+        .when(F.col("way_id") == 8,
+              F.create_map(F.lit("highway"), F.lit("tertiary")))
+        .otherwise(F.col("tags")))
+    faces = _grid_faces(spark)
+    edges = planarize_edges(split_ways_to_edges(nodes, classify_barriers(ways)))
+    seg_res = segment_resistance(edges, classify_barrier_ways(spark, ways))
+    dom = dominant_type(assign_landuse(faces, _grid_landuse(spark)))
+    merged = merge_faces(faces, seg_res, threshold=3, dominant=dom)
+    reg = merged.groupBy("region").agg(
+        F.min(F.struct("min_lon", "min_lat")).alias("m"),
+        F.count("*").alias("n"))
+    return (merged.join(reg, "region")
+            .select("min_lon", "min_lat", "max_lon", "max_lat",
+                    F.col("m.min_lon").alias("region_min_lon"),
+                    F.col("m.min_lat").alias("region_min_lat"),
+                    F.col("n").cast("long").alias("region_n_faces")))
+
+
+# Closed-form merge oracle over the lattice: 5x5 interior unit cells,
+# 4-neighborhood adjacency; the boundary between columns gx and gx+1 is
+# vertical street gx+1 (tertiary res 4 at gx+1=2, else residential 2),
+# between rows gy and gy+1 horizontal street gy+1 (secondary res 8 at
+# gy+1=3, else 2); dominance from the same quarter-step rect arithmetic
+# as _FACES_LANDUSE_SQL; regions via recursive-CTE transitive closure.
+# cid = gx*8 + gy is lexicographic in (gx, gy) and min_lon/min_lat are
+# monotone in gx/gy, so MIN(cid) is exactly Spark's MIN(struct(min_lon,
+# min_lat)) member.
+_MERGE_FACES_SQL = """
+WITH RECURSIVE rects AS (
+  SELECT * FROM (VALUES
+    ('residential', 5, 9, 11, 15),
+    ('industrial', 13, 6, 18, 9),
+    ('water', 6, 10, 8, 12)) r(cls, x0, y0, x1, y1)
+), cells AS (
+  SELECT gx, gy FROM range(0, 5) t1(gx) CROSS JOIN range(0, 5) t2(gy)
+), inner_pm AS (
+  SELECT gx, gy, cls,
+         (LEAST(x1, 4*gx + 4) - GREATEST(x0, 4*gx))
+         * (LEAST(y1, 4*gy + 4) - GREATEST(y0, 4*gy)) * 625 AS pm
+  FROM cells CROSS JOIN rects
+  WHERE LEAST(x1, 4*gx + 4) > GREATEST(x0, 4*gx)
+    AND LEAST(y1, 4*gy + 4) > GREATEST(y0, 4*gy)
+), dom AS (
+  SELECT gx, gy, cls FROM (
+    SELECT gx, gy, cls, ROW_NUMBER() OVER (
+      PARTITION BY gx, gy ORDER BY pm DESC, cls ASC) AS rn
+    FROM inner_pm) WHERE rn = 1
+), cdom AS (
+  SELECT c.gx, c.gy, c.gx * 8 + c.gy AS cid, COALESCE(d.cls, '~none') AS cls
+  FROM cells c LEFT JOIN dom d ON d.gx = c.gx AND d.gy = c.gy
+), adj AS (
+  SELECT a.cid AS src, b.cid AS dst
+  FROM cdom a JOIN cdom b ON b.gx = a.gx + 1 AND b.gy = a.gy
+  WHERE a.cls = b.cls
+    AND (CASE WHEN a.gx + 1 = 2 THEN 4 ELSE 2 END) <= 3
+  UNION ALL
+  SELECT a.cid, b.cid
+  FROM cdom a JOIN cdom b ON b.gx = a.gx AND b.gy = a.gy + 1
+  WHERE a.cls = b.cls
+    AND (CASE WHEN a.gy + 1 = 3 THEN 8 ELSE 2 END) <= 3
+), sym AS (
+  SELECT src, dst FROM adj UNION SELECT dst, src FROM adj
+), reach AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+), comp AS (
+  SELECT c.cid, LEAST(c.cid, COALESCE(MIN(r.dst), c.cid)) AS region
+  FROM cdom c LEFT JOIN reach r ON r.src = c.cid
+  GROUP BY c.cid
+), agg AS (
+  SELECT region, COUNT(*) AS n FROM comp GROUP BY region
+)
+SELECT CAST(4.70 AS DOUBLE) + c.gx * CAST(0.01 AS DOUBLE) AS min_lon,
+       CAST(51.20 AS DOUBLE) + c.gy * CAST(0.01 AS DOUBLE) AS min_lat,
+       CAST(4.70 AS DOUBLE) + (c.gx + 1) * CAST(0.01 AS DOUBLE) AS max_lon,
+       CAST(51.20 AS DOUBLE) + (c.gy + 1) * CAST(0.01 AS DOUBLE) AS max_lat,
+       CAST(4.70 AS DOUBLE) + (p.region // 8) * CAST(0.01 AS DOUBLE)
+         AS region_min_lon,
+       CAST(51.20 AS DOUBLE) + (p.region % 8) * CAST(0.01 AS DOUBLE)
+         AS region_min_lat,
+       CAST(u.n AS BIGINT) AS region_n_faces
+FROM comp p
+JOIN cdom c ON c.cid = p.cid
+JOIN agg u ON u.region = p.region
+"""
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB dialect) for the module-backed queries
 # ---------------------------------------------------------------------------
@@ -1981,7 +2096,6 @@ FROM orders GROUP BY o_custkey, o_orderstatus""")
 
     # -- multimodal binary columns (Arrow byte-parsing kernels) --------------
     df_q("media_meta", q_media_meta_spark, _MEDIA_META_SQL)
-    df_q("media_resize", q_media_resize_spark, _MEDIA_RESIZE_SQL)
     df_q("media_frames", q_media_frames_spark, _MEDIA_FRAMES_SQL)
     df_q("media_features", q_media_features_spark, _MEDIA_FEATURES_SQL)
 
@@ -2002,6 +2116,10 @@ FROM orders GROUP BY o_custkey, o_orderstatus""")
     # serve-path composition: z12 request -> SubTilesFor descent ->
     # face-GUID dedup -> MVT encode (E1/E3)
     df_q("tile_serve_pyramid", q_tile_serve_spark, _TILE_SERVE_SQL)
+    # merge-by-similarity: the phase the reference specifies but never
+    # implements (weights only) — resistance-gated, dominance-gated
+    # region components with a recursive-CTE closed-form oracle
+    df_q("merge_faces", q_merge_faces_spark, _MERGE_FACES_SQL)
 
     # ------------------------------------------------------------------
     # DRIVER-REPORT TAIL (docs/COVERAGE.md "driver report cap"): the
@@ -2015,10 +2133,14 @@ FROM orders GROUP BY o_custkey, o_orderstatus""")
     # - geojson_features: the payload embeds the UUIDv5 face_guid (SHA-1 —
     #   not computable in DuckDB) and the walk-order ring cycle, so it was
     #   rows-only anyway; the face content is oracle-exact via faces_grid
-    #   and the GeoJSON assembly is pytest-covered.
-    # Both remain fully usable catalog queries and pytest-gated
+    #   and the GeoJSON assembly is pytest-covered;
+    # - media_resize: pure closed-form scale arithmetic over media_meta's
+    #   ORACLE-GREEN metadata (same _MEDIA_CTE), demoted in favor of the
+    #   merge_faces phase query.
+    # All remain fully usable catalog queries and pytest-gated
     # (tests/test_catalog_oracle.py runs ALL entries, uncapped).
     # ------------------------------------------------------------------
+    df_q("media_resize", q_media_resize_spark, _MEDIA_RESIZE_SQL)
     # density -> vector: threshold the coarse global raster, then merge
     # contiguous x-runs per row into segments (window island detection) —
     # the SQL-expressible analog of raster-to-vector tracing

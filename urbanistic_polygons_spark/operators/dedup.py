@@ -219,7 +219,17 @@ def near_dup_components(pairs: DataFrame, id_a: str = "doc_a",
     labels = (sym.groupBy(F.col("src").alias("node"))
               .agg(F.least(F.first("src"), F.min("dst")).alias("component"))
               .localCheckpoint(eager=True))
-    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    # convergence scalar: labels are monotonically non-increasing per
+    # node, so for NUMERIC ids the label SUM strictly decreases until
+    # fixpoint — one cheap aggregation.  Non-numeric ids (e.g. face GUID
+    # strings, operators/merge.py) have no such scalar; fall back to an
+    # exact changed-row probe (node-keyed join of consecutive rounds —
+    # co-partitioned, early-out isEmpty)
+    from pyspark.sql.types import NumericType
+    numeric_ids = isinstance(labels.schema["component"].dataType, NumericType)
+    prev = labels
+    prev_sum = (labels.agg(F.sum("component")).collect()[0][0]
+                if numeric_ids else None)
     for _ in range(max_rounds):
         msgs = (sym.join(labels, sym.src == labels.node)
                 .select(F.col("dst").alias("node"), "component"))
@@ -240,13 +250,18 @@ def near_dup_components(pairs: DataFrame, id_a: str = "doc_a",
                   .select("node",
                           F.coalesce("p_comp", "component").alias("component"))
                   .localCheckpoint(eager=True))
-        # labels are monotonically non-increasing per node, so the label
-        # SUM strictly decreases until fixpoint — one cheap aggregation
-        # detects convergence instead of a join against the previous round
-        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+        if numeric_ids:
+            cur_sum = labels.agg(F.sum("component")).collect()[0][0]
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+        else:
+            unchanged = (labels.join(
+                prev.select("node", F.col("component").alias("_prev")), "node")
+                .filter(F.col("component") != F.col("_prev")).isEmpty())
+            if unchanged:
+                break
+            prev = labels
     return labels.select(F.col("node").alias("doc_id"), "component")
 
 
