@@ -13,7 +13,7 @@ AUDIT = ["pip_assign", "knn_snap", "tile_assign", "q3_shipping", "q5_region",
          "salted_agg", "tile_pyramid", "global_topk", "landuse_rollup",
          "density_mvt", "winnow_fp", "stratified_sample",
          "cross_source_overlap", "embedding_topk", "tile_serve_pyramid",
-         "faces_landuse"]
+         "faces_landuse", "merge_faces"]
 out = ["""# Physical plan audit
 
 Generated from `.explain`/`executedPlan` at sf0.01 (regenerate with

@@ -221,10 +221,13 @@ def near_dup_components(pairs: DataFrame, id_a: str = "doc_a",
               .localCheckpoint(eager=True))
     # convergence scalar: labels are monotonically non-increasing per
     # node, so for NUMERIC ids the label SUM strictly decreases until
-    # fixpoint — one cheap aggregation.  Non-numeric ids (e.g. face GUID
-    # strings, operators/merge.py) have no such scalar; fall back to an
-    # exact changed-row probe (node-keyed join of consecutive rounds —
-    # co-partitioned, early-out isEmpty)
+    # fixpoint — one cheap aggregation.  Non-numeric ids (string doc ids,
+    # face GUIDs from operators/merge.py) have no such scalar; use an
+    # exact changed-row probe instead (node-keyed join of consecutive
+    # rounds — co-partitioned, early-out isEmpty).  The exact probe also
+    # sidesteps the float-precision ceiling a double SUM of 10^12 ids
+    # would hit (2^53); at that scale prefer string ids or cast the sum
+    # to decimal.
     from pyspark.sql.types import NumericType
     numeric_ids = isinstance(labels.schema["component"].dataType, NumericType)
     prev = labels
