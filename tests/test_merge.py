@@ -94,6 +94,34 @@ def test_threshold_zero_no_merges(lattice):
     assert merged.select("region").distinct().count() == 9
 
 
+def test_merge_multi_cell_lattice(spark):
+    """Cross-cell merge: a k=12 lattice spans ~41 z14 anchor cells, so
+    face extraction, GUID dedup and boundary-segment adjacency all cross
+    cell boundaries; a motorway on the x=6 vertical street must split the
+    11x11 interior into exactly a 66-face west and a 55-face east region.
+    (max_ring=1 drops only the oversized outer face — logged, and
+    irrelevant to interior merging.)"""
+    nodes_pdf, ways_pdf = datagen.gen_ways_grid(k=12, seed=44, jitter=0.0)
+    nodes = spark.createDataFrame(
+        nodes_pdf, schema="node_id long, lon double, lat double")
+    ways = spark.createDataFrame(
+        ways_pdf, schema="way_id long, nodes array<long>, tags map<string,string>")
+    ways = ways.withColumn(
+        "tags", F.when(F.col("way_id") == 18,   # vertical street x=6
+                       F.create_map(F.lit("highway"), F.lit("motorway")))
+        .otherwise(F.col("tags")))
+    faces = build_faces_from_ways(nodes, ways, max_ring=1)
+    faces = faces.localCheckpoint(eager=True)
+    assert faces.count() == 121                 # 11x11; outer face dropped
+    assert faces.select("anchor_cell").distinct().count() > 30
+    edges = split_ways_to_edges(nodes, classify_barriers(ways))
+    seg_res = segment_resistance(edges, classify_barrier_ways(spark, ways))
+    merged = merge_faces(faces, seg_res, threshold=3)
+    sizes = sorted(r.n for r in merged.groupBy("region")
+                   .agg(F.count("*").alias("n")).collect())
+    assert sizes == [55, 66]
+
+
 def test_dominance_gate_splits_regions(lattice):
     """With a synthetic dominance table marking the west column a
     different class, the uniform lattice merges into column vs rest."""

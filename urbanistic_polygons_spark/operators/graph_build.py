@@ -23,10 +23,14 @@ because it is tile-local and must respect halo suppression.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import cells as C
+
+log = logging.getLogger(__name__)
 
 
 def classify_barriers(ways: DataFrame, barrier_keys=("highway", "waterway",
@@ -478,7 +482,19 @@ def build_faces_from_ways(nodes: DataFrame, ways: DataFrame,
         results.append(out.filter(F.col("face_guid").isNotNull()))
         retry_anchors = (out.filter(F.col("face_guid").isNull())
                          .select("anchor_cell").distinct())
-        if ring == max_ring or retry_anchors.isEmpty():
+        if retry_anchors.isEmpty():
+            break
+        if ring == max_ring:
+            # faces whose walk exceeds the maximum halo (typically the
+            # unbounded OUTER face of a large extent — at planet scale it
+            # is not per-tile extractable, same as the reference's
+            # implicit unbounded face) are dropped, but never silently:
+            n_incomplete = retry_anchors.count()
+            log.warning(
+                "build_faces_from_ways: %d anchor cell(s) still had "
+                "incomplete face walks at max_ring=%d; their oversized "
+                "faces (usually the unbounded outer face) are omitted",
+                n_incomplete, max_ring)
             break
 
     faces = results[0]
