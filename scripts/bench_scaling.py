@@ -68,6 +68,7 @@ def main() -> None:
         pair_records.append({
             "eff": round(
                 (hi_r["docs_per_sec"] / lo_r["docs_per_sec"]) / 4, 3),
+            "cfg": {"n": n, "n_points": n_points},
             "probes": probes,
             # quiet = the independent noise thermometer (single-thread
             # matmul, ~0.35s idle, 2-5x under neighbor-VM bursts that
@@ -98,10 +99,25 @@ def main() -> None:
                 lo = plo
             if phi and (hi is None or phi["docs_per_sec"] > hi["docs_per_sec"]):
                 hi = phi
-            # accumulate the paired history across invocations (same
-            # job/input/config) so quiet-window pairs collected over time
-            # form one sample
-            pair_history = list(prev.get("paired_history", [])) + pair_history
+            # accumulate the paired history across invocations so
+            # quiet-window pairs collected over time form one sample —
+            # but ONLY pairs of the SAME config (cores pair + n_points):
+            # blending an 8M-point local[2]/[8] quick check into the 80M
+            # local[1]/[4] median would silently change what the
+            # "same job/input/config" claim means.  Legacy records
+            # without a cfg tag inherit the prev file's own config.
+            prev_cfg = {"n": None, "n_points": prev.get("n_points")}
+            for lvl in prev.get("levels", {}):
+                m = re.match(r"local\[(\d+)\]$", lvl)
+                if m and (prev_cfg["n"] is None
+                          or int(m.group(1)) < prev_cfg["n"]):
+                    prev_cfg["n"] = int(m.group(1))
+            prev_pairs = []
+            for p in prev.get("paired_history", []):
+                cfg = p.get("cfg", prev_cfg)
+                if cfg == {"n": n, "n_points": n_points}:
+                    prev_pairs.append({**p, "cfg": cfg})
+            pair_history = prev_pairs + pair_history
         except (ValueError, KeyError):
             pass
     if lo is None or hi is None:
@@ -113,6 +129,10 @@ def main() -> None:
     # no selection of any kind; more samples beat one invocation's three
     import statistics
     all_effs = sorted(p["eff"] for p in pair_history)
+    if not all_effs:
+        raise SystemExit(
+            "no paired history for this config (n=%d, n_points=%d): run "
+            "without --report-only to record pairs first" % (n, n_points))
     paired_eff = statistics.median(all_effs)
     quiet_effs = sorted(p["eff"] for p in pair_history if p.get("quiet"))
     # minimum sample size 3: a 1-2 pair median is noise, not an estimate

@@ -151,3 +151,31 @@ def test_random_star_polygons_vs_raster(seed):
     assert got == pytest.approx(swapped, rel=1e-9, abs=1e-9)
     ref = raster_area(ax, ay, bx, by)
     assert got == pytest.approx(ref, abs=0.08)
+
+
+def test_triangulate_fallback_counter_surfaces():
+    """The no-ear degenerate fallback must not be silent: the per-process
+    counter increments (and a warning logs once) when a fully collinear
+    ring blocks every ear."""
+    before = kernels.TRIANGULATE_FALLBACKS
+    tris = kernels.triangulate_ear(
+        np.array([0.0, 1.0, 2.0, 3.0]), np.array([0.0, 0.0, 0.0, 0.0]))
+    assert kernels.TRIANGULATE_FALLBACKS > before
+    # a collinear "ring" has no area: any emitted triangles are degenerate
+    for (i, j, k) in tris:
+        assert abs((2.0 - 0.0) * 0.0) == 0.0
+
+
+def test_triangulate_grid_ring_no_fallback():
+    """Grid-aligned rings with repeated/collinear boundary points must NOT
+    trip the fallback (the coincident-corner fix, ADVICE r2)."""
+    before = kernels.TRIANGULATE_FALLBACKS
+    # unit square subdivided: collinear midpoints on every edge
+    x = np.array([0.0, 0.5, 1.0, 1.0, 1.0, 0.5, 0.0, 0.0])
+    y = np.array([0.0, 0.0, 0.0, 0.5, 1.0, 1.0, 1.0, 0.5])
+    tris = kernels.triangulate_ear(x, y)
+    area = sum(abs((x[j] - x[i]) * (y[k] - y[i])
+                   - (x[k] - x[i]) * (y[j] - y[i])) / 2
+               for i, j, k in tris)
+    assert area == pytest.approx(1.0, abs=1e-12)
+    assert kernels.TRIANGULATE_FALLBACKS == before

@@ -459,6 +459,35 @@ def test_mvt_donut_rings():
         assert set(ring) == set(zip(qx.tolist(), qy.tolist()))
 
 
+def test_mvt_degenerate_exterior_promotes_next_ring():
+    """If the input exterior quantizes away (<3 distinct points), the
+    next emitted ring becomes the feature's first ring and MUST wind
+    positive (MVT 2.1: the first ring of a polygon is the exterior) —
+    winding keys on the EMITTED index, not the input index."""
+    from urbanistic_polygons_spark.sources.mvt import encode_tile
+
+    tx, ty = kernels.world_to_tile(
+        np.array([BASE_LON + S / 2]), np.array([BASE_LAT + S / 2]))
+    # exterior collapses to a point at tile resolution; "hole" is real and
+    # fed in the hole orientation (same order as a normal hole input)
+    eps = S / 1e7
+    feat = {"rings": [_sq(0, 0, eps, eps),
+                      _sq(S / 4, S / 4, S / 2, S / 2)],
+            "props": {"cls": "water"}}
+    blob = encode_tile(int(tx[0]), int(ty[0]), 14, [feat])
+    layer = [v for f, w, v in _pb_fields(blob) if f == 3][0]
+    feature = [v for f, w, v in _pb_fields(layer) if f == 2][0]
+    geom = _unpack_varints([v for f, w, v in _pb_fields(feature) if f == 4][0])
+    rings = _decode_polygon_ring_list(geom)
+    assert len(rings) == 1                 # degenerate exterior skipped
+
+    def shoelace(r):
+        return sum(x1 * y2 - x2 * y1
+                   for (x1, y1), (x2, y2) in zip(r, r[1:] + r[:1])) / 2
+
+    assert shoelace(rings[0]) > 0          # promoted ring winds exterior
+
+
 def test_lineage_snapshot_isolation(spark, tmp_path):
     """Snapshot semantics: uncommitted (crashed-attempt) files are
     invisible, reads time-travel to any snapshot, rollback makes later

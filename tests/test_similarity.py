@@ -46,3 +46,12 @@ def test_lsh_ann_subset_of_corpus(spark):
         F.max("rank").alias("mx"), F.count("*").alias("c")).filter(
         F.col("mx") != F.col("c"))
     assert bad.count() == 0
+
+
+def test_brute_force_topk_no_matching_queries(spark):
+    """query_ids absent from the corpus: empty result, not an ARRAY<VOID>
+    analysis crash from a zero-arg F.array literal."""
+    out = brute_force_topk(_emb(spark), query_ids=[999_999_999])
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "neighbor_id", "dot", "rank"]

@@ -127,7 +127,7 @@ def _rect_cells(rects: DataFrame) -> DataFrame:
     """Tiled rect index: one row per covering cell (broadcast side)."""
     return rects.withColumn(
         "cell_id",
-        F.explode(F.flatten(F.transform(
+        F.explode_outer(F.flatten(F.transform(
             F.sequence(F.expr("y0 DIV 10000") + 5447, F.expr("y1 DIV 10000") + 5447),
             lambda cy: F.transform(
                 F.sequence(F.expr("x0 DIV 10000") + 8300,
@@ -378,7 +378,7 @@ def q_tile_pyramid_spark(spark, sf_dir):
         CELLS.parent_cell(F.col("cell_id"), 14, 11).alias("parent")).distinct()
     children = parents.select(
         "parent",
-        F.explode(CELLS.sub_tiles_for(F.col("parent"), 11, 14)).alias("cell_id"))
+        F.explode_outer(CELLS.sub_tiles_for(F.col("parent"), 11, 14)).alias("cell_id"))
     return (children.join(per_cell, "cell_id")
             .groupBy("parent")
             .agg(F.count("*").alias("n_occupied_children"),
@@ -409,7 +409,7 @@ def q_cell_halo_spark(spark, sf_dir):
                 .agg(F.count("*").alias("n")))
     halo = per_cell.select(
         "cell_id",
-        F.explode(F.flatten(F.transform(
+        F.explode_outer(F.flatten(F.transform(
             F.sequence(F.col("cell_y") - 1, F.col("cell_y") + 1),
             lambda cy: F.transform(
                 F.sequence(F.col("cell_x") - 1, F.col("cell_x") + 1),
@@ -1410,7 +1410,7 @@ def q_density_mvt_spark(spark, sf_dir):
     # the cover from the lon/lat bbox would be fragile AND unverifiable;
     # this way the query has a closed-form DuckDB oracle.
     covered = (faces
-               .withColumn("tile_x", F.explode(F.sequence(
+               .withColumn("tile_x", F.explode_outer(F.sequence(
                    F.expr("(x_start + 8300) DIV 8"),
                    F.expr("(x_end + 8300) DIV 8"))))
                .withColumn("tile_y", F.expr("(gy + 5447) DIV 8")))
@@ -1469,7 +1469,7 @@ def q_tile_serve_spark(spark, sf_dir):
     faces = _grid_faces(spark)
     cov = faces.withColumn(
         "cell_id",
-        F.explode(F.flatten(F.transform(
+        F.explode_outer(F.flatten(F.transform(
             F.sequence(CELLS.tile_y(F.col("max_lat")),
                        CELLS.tile_y(F.col("min_lat"))),
             lambda cy: F.transform(
@@ -1481,7 +1481,7 @@ def q_tile_serve_spark(spark, sf_dir):
         F.col("cell_id"), 14, 12).alias("parent")).distinct())
     # pyramid descent: request -> its 4^2 z14 descendants (SubTilesFor)
     descended = requests.select(
-        "parent", F.explode(CELLS.sub_tiles_for(
+        "parent", F.explode_outer(CELLS.sub_tiles_for(
             F.col("parent"), 12, 14)).alias("cell_id"))
     # faces of every subtile, GUID-deduped per request tile
     served = (descended.join(cov.select("cell_id", "face_guid", "ring"),

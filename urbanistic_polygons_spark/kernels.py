@@ -20,10 +20,13 @@ zero session state.
 from __future__ import annotations
 
 import hashlib
+import logging
 import struct
 import uuid
 
 import numpy as np
+
+log = logging.getLogger(__name__)
 
 # --------------------------------------------------------------------------
 # Tile math (slippy map, default zoom 14 like the reference preprocessor)
@@ -474,9 +477,15 @@ def triangulate_ear(x: np.ndarray, y: np.ndarray) -> list[tuple[int, int, int]]:
             clipped = True
             break
         if not clipped:  # degenerate ring (collinear runs): drop a vertex
-            # surfaced, not silent: per-process counter (executor-local —
-            # pytest and local-mode kernels read it directly)
+            # surfaced, not silent: per-process counter (executor-local;
+            # asserted by tests/test_clip_general.py) + a warning on the
+            # first occurrence per process
             global TRIANGULATE_FALLBACKS
+            if TRIANGULATE_FALLBACKS == 0:
+                log.warning(
+                    "triangulate_ear: no-ear degenerate fallback hit "
+                    "(collinear/self-touching ring); dropping a vertex — "
+                    "intersection areas for this ring may be inexact")
             TRIANGULATE_FALLBACKS += 1
             order.pop(0)
     if len(order) == 3:

@@ -34,10 +34,13 @@ from pyspark.sql import functions as F
 
 from .dedup import near_dup_components
 
-#: segments whose boundary matches no classified barrier edge (cannot
-#: happen for faces built from the same edge set, but callers may pass a
-#: filtered edge subset) merge freely
-_DEFAULT_RESISTANCE = 0
+#: segments whose boundary matches no classified barrier edge DO NOT
+#: merge: a missed segment-key join (filtered edge subset, or a
+#: formatting divergence between the Python-formatted ring tokens and
+#: the Java-formatted edge tokens on an exact decimal tie — dyadic
+#: coordinates only) must fail safe as "barrier unknown = keep apart",
+#: never as a silent merge across a motorway
+_DEFAULT_RESISTANCE = 1 << 30
 
 
 def _pts_col():

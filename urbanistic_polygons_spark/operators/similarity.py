@@ -93,6 +93,11 @@ def brute_force_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
     qrows = (base.filter(F.col(id_col).isin(query_ids))
              .select(F.col(id_col).alias("query_id"), F.col("q").alias("qv"))
              .collect())
+    if not qrows:
+        # F.array() with zero args is an ARRAY<VOID> literal whose explode
+        # fails analysis — no matching query ids means an empty result
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, dot long, rank int")
     qlits = F.array(*[
         F.struct(
             F.lit(int(r["query_id"])).cast("long").alias("query_id"),

@@ -27,6 +27,7 @@ snapshot commits; this parquet implementation is the in-sandbox fallback.
 from __future__ import annotations
 
 import json
+import os
 import time
 from pathlib import Path
 
@@ -59,6 +60,19 @@ class LineageStore:
     def _lineage_path(self, stage: str) -> Path:
         # legacy aggregate counters (kept for the pipeline's stage report)
         return self.root / f"_lineage_{stage}.json"
+
+    @staticmethod
+    def _atomic_write(path: Path, payload: dict) -> None:
+        """Write-to-temp + rename: a crash mid-write must never truncate
+        the existing log (Path.write_text opens with truncation — a kill
+        between truncate and flush would lose EVERY committed snapshot).
+        os.replace is atomic on POSIX within one filesystem."""
+        tmp = path.with_suffix(".json.tmp")
+        with open(tmp, "w") as f:
+            f.write(json.dumps(payload))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
 
     # -- snapshot log --------------------------------------------------------
 
@@ -102,8 +116,8 @@ class LineageStore:
         ``_commit`` directories, and double-count rows on read."""
         log = self._log(stage)
         cid = log["last_id"] + 1
-        self._snapshots_path(stage).write_text(
-            json.dumps({"snapshots": log["snapshots"], "last_id": cid}))
+        self._atomic_write(self._snapshots_path(stage),
+                           {"snapshots": log["snapshots"], "last_id": cid})
         return cid
 
     def checkpoint(self, df: DataFrame, stage: str,
@@ -144,17 +158,17 @@ class LineageStore:
             "rows_added": rows_added,
             "committed_at": time.time(),
         })
-        self._snapshots_path(stage).write_text(
-            json.dumps({"snapshots": snaps, "last_id": cid}))
+        self._atomic_write(self._snapshots_path(stage),
+                           {"snapshots": snaps, "last_id": cid})
         all_parts = self.committed_partitions(stage)
-        self._lineage_path(stage).write_text(json.dumps({
+        self._atomic_write(self._lineage_path(stage), {
             "stage": stage,
             "partitions": all_parts,
             "n_partitions": len(all_parts),
             "n_rows": sum(s["rows_added"] for s in snaps),
             "current_snapshot": cid,
             "committed_at": time.time(),
-        }))
+        })
         return self.read(stage)
 
     def read(self, stage: str, as_of: int | None = None) -> DataFrame:
@@ -172,17 +186,17 @@ class LineageStore:
         next run reprocesses them."""
         log = self._log(stage)
         keep = [s for s in log["snapshots"] if s["snapshot_id"] <= snapshot_id]
-        self._snapshots_path(stage).write_text(
-            json.dumps({"snapshots": keep, "last_id": log["last_id"]}))
+        self._atomic_write(self._snapshots_path(stage),
+                           {"snapshots": keep, "last_id": log["last_id"]})
         parts = self.committed_partitions(stage)
-        self._lineage_path(stage).write_text(json.dumps({
+        self._atomic_write(self._lineage_path(stage), {
             "stage": stage,
             "partitions": parts,
             "n_partitions": len(parts),
             "n_rows": sum(s["rows_added"] for s in keep),
             "current_snapshot": snapshot_id if keep else None,
             "committed_at": time.time(),
-        }))
+        })
 
     def is_complete(self, stage: str, expected_partitions: int) -> bool:
         c = self.counters(stage)

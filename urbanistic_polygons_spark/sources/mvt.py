@@ -78,15 +78,24 @@ def _geometry_polygon(rings: list[tuple[np.ndarray, np.ndarray]]) -> list[int]:
     these rings in TileController.cs:78-141 / LanduseTileController.cs:85-126)."""
     cmds: list[int] = []
     px, py = 0, 0
-    for ri, (qx, qy) in enumerate(rings):
+    n_emitted = 0
+    for qx, qy in rings:
         # drop closing dup (ClosePath implies it)
         if len(qx) > 1 and qx[0] == qx[-1] and qy[0] == qy[-1]:
             qx, qy = qx[:-1], qy[:-1]
         if len(qx) < 3:
             continue
         area = _ring_signed_area(qx, qy)
-        if (ri == 0 and area < 0) or (ri > 0 and area > 0):
+        if area == 0:
+            # zero-area ring: neither a valid exterior nor a valid hole
+            # (MVT 2.1 §4.3.3.3) — skip rather than emit unnormalizable
+            continue
+        # winding keys on the EMITTED ring index, not the input index: if
+        # the input exterior was degenerate and skipped, the next emitted
+        # ring becomes the exterior and must wind positive
+        if (n_emitted == 0) != (area > 0):
             qx, qy = qx[::-1], qy[::-1]
+        n_emitted += 1
         cmds.append((1 << 3) | 1)  # MoveTo, count 1
         cmds.append(_zigzag(int(qx[0]) - px))
         cmds.append(_zigzag(int(qy[0]) - py))
