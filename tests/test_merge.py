@@ -139,3 +139,27 @@ def test_dominance_gate_splits_regions(lattice):
     sizes = sorted(r.n for r in merged.groupBy("region")
                    .agg(F.count("*").alias("n")).collect())
     assert sizes == [3, 6]
+
+
+def test_graph_pipeline_stages_and_resume(spark, tmp_path):
+    """E2 bulk-build analog: the 5-stage graph pipeline (entity tables ->
+    faces -> landuse -> merge -> tiles) commits LineageStore snapshots;
+    a re-run with the same workdir skips every committed partition (adds
+    0 rows) and reproduces identical stage counters."""
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import run_graph_pipeline as P
+
+    wd = str(tmp_path / "graph_wd")
+    r1 = P.run(spark, wd, k=4)
+    assert set(r1["stages"]) == {"graph_vertices", "graph_edges", "faces",
+                                 "landuse", "merge", "tiles"}
+    assert r1["stages"]["faces"]["rows"] == 10     # 3x3 + outer
+    assert r1["stages"]["merge"]["rows"] == 9      # interior only
+    assert r1["stages"]["tiles"]["rows"] >= 1
+    r2 = P.run(spark, wd, k=4)
+    # resume: no stage adds rows, counters identical
+    for name, s1 in r1["stages"].items():
+        assert r2["stages"][name]["rows"] == s1["rows"], name
+        assert r2["stages"][name]["partitions"] == s1["partitions"], name

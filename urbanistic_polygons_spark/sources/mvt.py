@@ -208,9 +208,11 @@ def faces_to_mvt(faces, zoom: int = kernels.DEFAULT_ZOOM):
     if "tile_x" in faces.columns and "tile_y" in faces.columns:
         tiled = faces.select("face_guid", "ring", "tile_x", "tile_y")
     else:
+        # a face bbox always covers >= 1 tile: explode_outer dodges the
+        # InferFiltersFromGenerate interpreted-filter trap (repo rule)
         tiled = faces.withColumn(
             "tile_xy",
-            F.explode(F.flatten(F.transform(
+            F.explode_outer(F.flatten(F.transform(
                 F.sequence(C.tile_y(F.col("max_lat"), zoom),
                            C.tile_y(F.col("min_lat"), zoom)),
                 lambda cy: F.transform(
