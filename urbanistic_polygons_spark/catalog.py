@@ -1534,6 +1534,33 @@ FROM ex2 GROUP BY x // 4, y // 4
 """
 
 
+def _merge_fixture(spark):
+    """Shared merge-phase fixture: the lattice with two streets promoted
+    to stronger barriers (way_id 3, the y=3 horizontal -> secondary res 8;
+    way_id 8, the x=2 vertical -> tertiary res 4), its resistance-tagged
+    unit segments, and per-face dominant landuse.  Face GEOMETRY is
+    tag-independent, so the memoized fixture faces are reused."""
+    from .operators.classify import classify_barrier_ways
+    from .operators.graph_build import (classify_barriers, planarize_edges,
+                                        split_ways_to_edges)
+    from .operators.landuse_join import assign_landuse, dominant_type
+    from .operators.merge import segment_resistance
+
+    nodes, ways = _grid_graph(spark)
+    ways = ways.withColumn(
+        "tags",
+        F.when(F.col("way_id") == 3,
+               F.create_map(F.lit("highway"), F.lit("secondary")))
+        .when(F.col("way_id") == 8,
+              F.create_map(F.lit("highway"), F.lit("tertiary")))
+        .otherwise(F.col("tags")))
+    faces = _grid_faces(spark)
+    edges = planarize_edges(split_ways_to_edges(nodes, classify_barriers(ways)))
+    seg_res = segment_resistance(edges, classify_barrier_ways(spark, ways))
+    dom = dominant_type(assign_landuse(faces, _grid_landuse(spark)))
+    return faces, seg_res, dom
+
+
 def q_merge_faces_spark(spark, sf_dir):
     """Merge-by-similarity — the reference's README step 3, which its code
     never implements (only the resistance weight table exists,
@@ -1550,24 +1577,9 @@ def q_merge_faces_spark(spark, sf_dir):
     the dominance gate see the modified tags.  Output: one row per
     interior face with its region label (min member bbox corner) and
     region size — all exact closed-form doubles/integers."""
-    from .operators.classify import classify_barrier_ways
-    from .operators.graph_build import (classify_barriers, planarize_edges,
-                                        split_ways_to_edges)
-    from .operators.landuse_join import assign_landuse, dominant_type
-    from .operators.merge import merge_faces, segment_resistance
+    from .operators.merge import merge_faces
 
-    nodes, ways = _grid_graph(spark)
-    ways = ways.withColumn(
-        "tags",
-        F.when(F.col("way_id") == 3,
-               F.create_map(F.lit("highway"), F.lit("secondary")))
-        .when(F.col("way_id") == 8,
-              F.create_map(F.lit("highway"), F.lit("tertiary")))
-        .otherwise(F.col("tags")))
-    faces = _grid_faces(spark)
-    edges = planarize_edges(split_ways_to_edges(nodes, classify_barriers(ways)))
-    seg_res = segment_resistance(edges, classify_barrier_ways(spark, ways))
-    dom = dominant_type(assign_landuse(faces, _grid_landuse(spark)))
+    faces, seg_res, dom = _merge_fixture(spark)
     merged = merge_faces(faces, seg_res, threshold=3, dominant=dom)
     reg = merged.groupBy("region").agg(
         F.min(F.struct("min_lon", "min_lat")).alias("m"),
@@ -1644,6 +1656,127 @@ SELECT CAST(4.70 AS DOUBLE) + c.gx * CAST(0.01 AS DOUBLE) AS min_lon,
          AS region_min_lat,
        CAST(u.n AS BIGINT) AS region_n_faces
 FROM comp p
+JOIN cdom c ON c.cid = p.cid
+JOIN agg u ON u.region = p.region
+"""
+
+
+def q_merge_to_size_spark(spark, sf_dir):
+    """Size-targeted merge — the reference's ``expectedPolygonSize``
+    semantic (DefaultMergeFactorCalculator.cs ctor arg): the threshold
+    rises through the ascending barrier weights until the mean
+    interior-region size reaches 4 faces.  On this fixture the schedule
+    stops at threshold 4 (t=1: 25 singletons; t=2: 9 regions, mean 2.78;
+    t=4: 5 regions, mean 5)."""
+    from .operators.merge import merge_to_size
+
+    faces, seg_res, dom = _merge_fixture(spark)
+    merged = merge_to_size(faces, seg_res, dominant=dom,
+                           expected_faces_per_region=4.0)
+    reg = merged.groupBy("region").agg(
+        F.min(F.struct("min_lon", "min_lat")).alias("m"),
+        F.count("*").alias("n"))
+    return (merged.join(reg, "region")
+            .select("min_lon", "min_lat", "max_lon", "max_lat",
+                    F.col("m.min_lon").alias("region_min_lon"),
+                    F.col("m.min_lat").alias("region_min_lat"),
+                    F.col("n").cast("long").alias("region_n_faces"),
+                    F.col("threshold").cast("int").alias("threshold")))
+
+
+# Oracle: closures at levels 1 (no passable edge -> singletons), 2 and 4;
+# the winning level = MIN ascending level whose mean region size >= 4 —
+# exactly the operator's first-qualifying stop.  (Levels above 4 need no
+# closure: 4 qualifies by construction; if semantics drift the compare
+# fails loudly rather than silently agreeing.)
+_MERGE_TO_SIZE_SQL = """
+WITH RECURSIVE rects AS (
+  SELECT * FROM (VALUES
+    ('residential', 5, 9, 11, 15),
+    ('industrial', 13, 6, 18, 9),
+    ('water', 6, 10, 8, 12)) r(cls, x0, y0, x1, y1)
+), cells AS (
+  SELECT gx, gy FROM range(0, 5) t1(gx) CROSS JOIN range(0, 5) t2(gy)
+), inner_pm AS (
+  SELECT gx, gy, cls,
+         (LEAST(x1, 4*gx + 4) - GREATEST(x0, 4*gx))
+         * (LEAST(y1, 4*gy + 4) - GREATEST(y0, 4*gy)) * 625 AS pm
+  FROM cells CROSS JOIN rects
+  WHERE LEAST(x1, 4*gx + 4) > GREATEST(x0, 4*gx)
+    AND LEAST(y1, 4*gy + 4) > GREATEST(y0, 4*gy)
+), dom AS (
+  SELECT gx, gy, cls FROM (
+    SELECT gx, gy, cls, ROW_NUMBER() OVER (
+      PARTITION BY gx, gy ORDER BY pm DESC, cls ASC) AS rn
+    FROM inner_pm) WHERE rn = 1
+), cdom AS (
+  SELECT c.gx, c.gy, c.gx * 8 + c.gy AS cid, COALESCE(d.cls, '~none') AS cls
+  FROM cells c LEFT JOIN dom d ON d.gx = c.gx AND d.gy = c.gy
+), adj2 AS (
+  SELECT a.cid AS src, b.cid AS dst
+  FROM cdom a JOIN cdom b ON b.gx = a.gx + 1 AND b.gy = a.gy
+  WHERE a.cls = b.cls
+    AND (CASE WHEN a.gx + 1 = 2 THEN 4 ELSE 2 END) <= 2
+  UNION ALL
+  SELECT a.cid, b.cid
+  FROM cdom a JOIN cdom b ON b.gx = a.gx AND b.gy = a.gy + 1
+  WHERE a.cls = b.cls
+    AND (CASE WHEN a.gy + 1 = 3 THEN 8 ELSE 2 END) <= 2
+), sym2 AS (
+  SELECT src, dst FROM adj2 UNION SELECT dst, src FROM adj2
+), reach2 AS (
+  SELECT src, dst FROM sym2
+  UNION
+  SELECT r.src, s.dst FROM reach2 r JOIN sym2 s ON r.dst = s.src
+), comp2 AS (
+  SELECT c.cid, LEAST(c.cid, COALESCE(MIN(r.dst), c.cid)) AS region
+  FROM cdom c LEFT JOIN reach2 r ON r.src = c.cid
+  GROUP BY c.cid
+), adj4 AS (
+  SELECT a.cid AS src, b.cid AS dst
+  FROM cdom a JOIN cdom b ON b.gx = a.gx + 1 AND b.gy = a.gy
+  WHERE a.cls = b.cls
+    AND (CASE WHEN a.gx + 1 = 2 THEN 4 ELSE 2 END) <= 4
+  UNION ALL
+  SELECT a.cid, b.cid
+  FROM cdom a JOIN cdom b ON b.gx = a.gx AND b.gy = a.gy + 1
+  WHERE a.cls = b.cls
+    AND (CASE WHEN a.gy + 1 = 3 THEN 8 ELSE 2 END) <= 4
+), sym4 AS (
+  SELECT src, dst FROM adj4 UNION SELECT dst, src FROM adj4
+), reach4 AS (
+  SELECT src, dst FROM sym4
+  UNION
+  SELECT r.src, s.dst FROM reach4 r JOIN sym4 s ON r.dst = s.src
+), comp4 AS (
+  SELECT c.cid, LEAST(c.cid, COALESCE(MIN(r.dst), c.cid)) AS region
+  FROM cdom c LEFT JOIN reach4 r ON r.src = c.cid
+  GROUP BY c.cid
+), lv AS (
+  SELECT 1 AS t, cid, cid AS region FROM cdom
+  UNION ALL SELECT 2, cid, region FROM comp2
+  UNION ALL SELECT 4, cid, region FROM comp4
+), counts AS (
+  SELECT t, COUNT(DISTINCT region) AS n FROM lv GROUP BY t
+), win AS (
+  SELECT MIN(t) AS t FROM counts
+  WHERE CAST(25 AS DOUBLE) / n >= CAST(4.0 AS DOUBLE)
+), chosen AS (
+  SELECT lv.cid, lv.region, lv.t FROM lv JOIN win ON lv.t = win.t
+), agg AS (
+  SELECT region, COUNT(*) AS n FROM chosen GROUP BY region
+)
+SELECT CAST(4.70 AS DOUBLE) + c.gx * CAST(0.01 AS DOUBLE) AS min_lon,
+       CAST(51.20 AS DOUBLE) + c.gy * CAST(0.01 AS DOUBLE) AS min_lat,
+       CAST(4.70 AS DOUBLE) + (c.gx + 1) * CAST(0.01 AS DOUBLE) AS max_lon,
+       CAST(51.20 AS DOUBLE) + (c.gy + 1) * CAST(0.01 AS DOUBLE) AS max_lat,
+       CAST(4.70 AS DOUBLE) + (p.region // 8) * CAST(0.01 AS DOUBLE)
+         AS region_min_lon,
+       CAST(51.20 AS DOUBLE) + (p.region % 8) * CAST(0.01 AS DOUBLE)
+         AS region_min_lat,
+       CAST(u.n AS BIGINT) AS region_n_faces,
+       CAST(p.t AS INT) AS threshold
+FROM chosen p
 JOIN cdom c ON c.cid = p.cid
 JOIN agg u ON u.region = p.region
 """
@@ -2137,9 +2270,13 @@ FROM orders GROUP BY o_custkey, o_orderstatus""")
     # - media_resize: pure closed-form scale arithmetic over media_meta's
     #   ORACLE-GREEN metadata (same _MEDIA_CTE), demoted in favor of the
     #   merge_faces phase query.
+    # - merge_to_size: the expectedPolygonSize iteration on TOP of the
+    #   reported merge_faces entry — its per-level semantics are exactly
+    #   merge_faces', already driver-green.
     # All remain fully usable catalog queries and pytest-gated
     # (tests/test_catalog_oracle.py runs ALL entries, uncapped).
     # ------------------------------------------------------------------
+    df_q("merge_to_size", q_merge_to_size_spark, _MERGE_TO_SIZE_SQL)
     df_q("media_resize", q_media_resize_spark, _MEDIA_RESIZE_SQL)
     # density -> vector: threshold the coarse global raster, then merge
     # contiguous x-runs per row into segments (window island detection) —

@@ -154,6 +154,35 @@ def mergeable_pairs(faces: DataFrame, seg_res: DataFrame,
             .filter(F.col("res") <= threshold))
 
 
+def merge_to_size(faces: DataFrame, seg_res: DataFrame,
+                  dominant: DataFrame | None = None,
+                  expected_faces_per_region: float = 4.0,
+                  thresholds: list[int] | None = None) -> DataFrame:
+    """Size-targeted merge — the reference's ``expectedPolygonSize``
+    semantic (DefaultMergeFactorCalculator.cs ctor arg, the one knob its
+    unimplemented merge phase defines): raise the resistance threshold
+    through the ascending barrier weights until the MEAN interior-region
+    size reaches the target, then keep that level.
+
+    ``thresholds`` defaults to the ascending distinct weights of the
+    barrier dim (classify.BARRIERS).  The loop is driver-side but
+    scalar-only (one count per level, <= ~8 levels: the dim has 8
+    distinct weights); each level's merge is the bounded-key pipeline of
+    :func:`merge_faces`.  Returns the winning level's faces+region frame
+    with a literal ``threshold`` column."""
+    if thresholds is None:
+        from .classify import BARRIERS
+        thresholds = sorted({int(w) for _, _, w in BARRIERS})
+    n_faces = interior_faces(faces).count()
+    merged = None
+    for t in thresholds:
+        merged = merge_faces(faces, seg_res, t, dominant)
+        n_regions = merged.select("region").distinct().count()
+        if n_regions == 0 or n_faces / n_regions >= expected_faces_per_region:
+            return merged.withColumn("threshold", F.lit(t))
+    return merged.withColumn("threshold", F.lit(thresholds[-1]))
+
+
 def merge_faces(faces: DataFrame, seg_res: DataFrame, threshold: int,
                 dominant: DataFrame | None = None) -> DataFrame:
     """Full merge phase: interior faces + a ``region`` column (the min
