@@ -550,3 +550,37 @@ def test_lineage_crash_resume_no_id_collision(spark, tmp_path):
     assert out.count() == 80
     assert store.read("s").count() == 80
     assert snaps[-1]["rows_added"] == 40
+
+
+def test_lineage_compact_and_vacuum(spark, tmp_path):
+    """compact() rewrites all visible commits into one snapshot (same
+    rows, one commit dir per partition); vacuum() then reclaims the
+    compacted-away and crashed-orphan commit directories without
+    touching visible data."""
+    from urbanistic_polygons_spark.plans.lineage import LineageStore
+    store = LineageStore(str(tmp_path / "store"))
+    df1 = spark.createDataFrame([(1, 10), (2, 20)], "part long, v long")
+    df2 = spark.createDataFrame([(3, 30), (1, 11)], "part long, v long")
+    store.checkpoint(df1, "s", "part")
+    store.checkpoint(df2, "s", "part")
+    before = sorted((r.part, r.v) for r in store.read("s").collect())
+    assert len(store.snapshots("s")) == 2
+
+    # simulate a crashed attempt's orphan commit dir
+    orphan = tmp_path / "store" / "s" / "part=9" / "_commit=999"
+    orphan.mkdir(parents=True)
+    (orphan / "junk.parquet").write_bytes(b"")
+
+    cid = store.compact("s")
+    assert len(store.snapshots("s")) == 1
+    assert store.snapshots("s")[0]["snapshot_id"] == cid
+    assert sorted((r.part, r.v) for r in store.read("s").collect()) == before
+
+    removed = store.vacuum("s")
+    assert removed >= 3            # 2 old commits' dirs + the orphan
+    assert sorted((r.part, r.v) for r in store.read("s").collect()) == before
+    # next checkpoint keeps committing monotonically after compaction
+    store.checkpoint(spark.createDataFrame([(5, 50)], "part long, v long"),
+                     "s", "part")
+    assert sorted((r.part, r.v) for r in store.read("s").collect()) == (
+        before + [(5, 50)])

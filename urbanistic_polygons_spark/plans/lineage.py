@@ -201,3 +201,76 @@ class LineageStore:
     def is_complete(self, stage: str, expected_partitions: int) -> bool:
         c = self.counters(stage)
         return bool(c) and c.get("n_partitions", 0) >= expected_partitions
+
+    # -- maintenance: compaction + orphan cleanup ----------------------------
+
+    def compact(self, stage: str) -> int:
+        """Rewrite all visible snapshots into ONE commit (Iceberg's
+        rewrite-data-files + expire-snapshots in one step).  A long-lived
+        resumable stage accrues one commit per (re)run; every read lists
+        all of them — at 10^5 commits the file listing itself becomes the
+        bottleneck.  The compacted commit is written and recorded BEFORE
+        the old snapshot records are dropped, so a crash mid-compaction
+        leaves either the old log (compaction invisible) or the new one
+        (old commits orphaned — vacuum reclaims them); never data loss.
+        Returns the new snapshot id."""
+        spark = SparkSession.getActiveSession()
+        log = self._log(stage)
+        if len(log["snapshots"]) <= 1:
+            return (log["snapshots"][0]["snapshot_id"]
+                    if log["snapshots"] else 0)
+        old = log["snapshots"]
+        part_col = None
+        # partition column = first dir component under the stage dir
+        for d in self._stage_dir(stage).iterdir():
+            if d.is_dir() and "=" in d.name:
+                part_col = d.name.split("=", 1)[0]
+                break
+        assert part_col is not None, f"no partitioned data for {stage}"
+        # materialize BEFORE appending into the directory being read (a
+        # same-path read+write job is undefined); at real scale this is
+        # an Iceberg rewrite-data-files action over file groups instead
+        df = self.read(stage).localCheckpoint(eager=True)
+        cid = self._reserve_commit_id(stage)
+        (df.withColumn("_commit", F.lit(cid))
+         .write.mode("append")
+         .partitionBy(part_col, "_commit")
+         .parquet(str(self._stage_dir(stage))))
+        rows = sum(s["rows_added"] for s in old)
+        parts = self.committed_partitions(stage)
+        self._atomic_write(self._snapshots_path(stage), {
+            "snapshots": [{
+                "snapshot_id": cid,
+                "parent_id": old[-1]["snapshot_id"],
+                "stage": stage,
+                "added_partitions": parts,
+                "rows_added": rows,
+                "committed_at": time.time(),
+                "compacted_from": [s["snapshot_id"] for s in old],
+            }],
+            "last_id": cid,
+        })
+        return cid
+
+    def vacuum(self, stage: str) -> int:
+        """Delete data files whose ``_commit`` id is not visible in the
+        snapshot log — crashed attempts' orphans and compacted-away
+        commits.  Safe at any time: invisible files are by definition
+        never read.  Returns the number of commit directories removed."""
+        import shutil
+        visible = {s["snapshot_id"] for s in self.snapshots(stage)}
+        removed = 0
+        root = self._stage_dir(stage)
+        if not root.exists():
+            return 0
+        for part_dir in root.iterdir():
+            if not part_dir.is_dir():
+                continue
+            for commit_dir in part_dir.iterdir():
+                if not commit_dir.name.startswith("_commit="):
+                    continue
+                cid = int(commit_dir.name.split("=", 1)[1])
+                if cid not in visible:
+                    shutil.rmtree(commit_dir)
+                    removed += 1
+        return removed
