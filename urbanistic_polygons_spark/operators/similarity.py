@@ -55,20 +55,35 @@ def topk_per_query(scored: DataFrame, k: int) -> DataFrame:
     A ``row_number().over(Window.partitionBy("query_id"))`` funnels EVERY
     scored candidate of a query into one task — with a handful of query
     ids that is a parallelism collapse at corpus scale (VERDICT r2).
-    Phase 1 reduces each (query, input-partition) group to its k best
-    candidates, so reduce-side parallelism tracks the corpus partition
-    count, not the query count; phase 2 merges only #partitions x k
-    structs per query.  Output is identical to the global window sort:
-    the struct order (dot desc via negation, neighbor_id asc) is total.
+    Phase 1 reduces each input PARTITION to its k best candidates per
+    query inside the scan stage (Arrow mapInPandas — no shuffle, no
+    stage barrier), so the single merge shuffle carries only
+    #partitions x k rows per query.  Output is identical to the global
+    window sort: the struct order (dot desc via negation, neighbor_id
+    asc) is total.
     """
+    def partial_topk(batches):
+        # Arrow-batched per-PARTITION top-k: a groupBy(query_id, pid)
+        # phase-1 agg would shuffle its full partial collect_list buffers
+        # (untruncated) and add a stage barrier; this keeps the reduction
+        # inside the scan stage and ships only #partitions x k rows into
+        # the single merge shuffle.  Accumulator stays bounded at
+        # (#queries x k) rows between batches.
+        acc = None
+        for pdf in batches:
+            cur = pdf if acc is None else pd.concat((acc, pdf))
+            cur = cur.sort_values(["query_id", "dot", "neighbor_id"],
+                                  ascending=[True, False, True],
+                                  kind="mergesort")
+            acc = cur.groupby("query_id", sort=False).head(k)
+        if acc is not None and len(acc):
+            yield acc
+
+    part = scored.mapInPandas(partial_topk, scored.schema)
     key = F.struct((-F.col("dot")).alias("nd"),
                    F.col("neighbor_id").alias("nid"))
-    part = (scored.withColumn("pid", F.spark_partition_id())
-            .groupBy("query_id", "pid")
-            .agg(F.slice(F.array_sort(F.collect_list(key)), 1, k)
-                 .alias("top")))
     merged = (part.groupBy("query_id")
-              .agg(F.slice(F.array_sort(F.flatten(F.collect_list("top"))),
+              .agg(F.slice(F.array_sort(F.collect_list(key)),
                            1, k).alias("top")))
     return (merged.select("query_id", F.posexplode("top").alias("pos", "t"))
             .select("query_id", F.col("t.nid").alias("neighbor_id"),
