@@ -42,8 +42,9 @@ iterative ring loop).
 `dedup_components` is iterative (min-label propagation) and is audited by
 construction, not by its final plan snapshot: each round is one message
 join + one min-aggregation with the lineage cut by an eager
-localCheckpoint, and convergence is detected by the monotone label sum —
-no cartesian anywhere in the loop.
+localCheckpoint, and convergence is detected by the monotone label sum
+(numeric ids) or an exact node-keyed changed-row probe (string ids, e.g.
+the merge phase's face GUIDs) — no cartesian anywhere in the loop.
 
 ## Scan pushdown evidence (pip_assign)
 
