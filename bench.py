@@ -59,11 +59,19 @@ def main() -> None:
     spark = get_spark("bench", cores=cpus, shuffle_partitions=max(cpus, 8))
     cat = build_catalog()
 
-    # warm the JVM, parquet footers, codegen, and the Arrow/python-worker
-    # path once (not timed)
+    # warm-up sweep, DISCARDED (r3 verdict item 1): the first execution of
+    # each query pays JVM class-load, codegen compilation, parquet footer
+    # and Arrow/python-worker startup that min-of-N should never see —
+    # r3's rep-1 was globally 2-4x slow (knn_snap 21.3s vs 4.8s) and the
+    # contamination leaked into the min.  Every query runs once untimed
+    # (timings kept separately for transparency), then the timed sweeps
+    # measure steady state only.
     spark.read.parquet(f"{sf_dir}/orders.parquet").count()
-    cat["pip_assign"]["spark"](spark, sf_dir).count()
-    cat["media_meta"]["spark"](spark, sf_dir).count()
+    warmup: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        cat[name]["spark"](spark, sf_dir).count()
+        warmup[name] = round(time.perf_counter() - t0, 3)
 
     # steady-state timing: three executions per query (the callable
     # rebuilds the plan each call; verified that rebuilt-plan count()
@@ -107,6 +115,7 @@ def main() -> None:
         "docs_per_sec_spatial": docs_per_sec,
         "rows": rows,
         "runs": runs,
+        "warmup_runs": warmup,
         "cpu_probe_sec": [probe_before, _cpu_probe()],
     }))
     spark.stop()

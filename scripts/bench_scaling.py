@@ -94,15 +94,29 @@ def main() -> None:
     # the pair.
     prev_path = REPO / "BENCH_SCALING.json"
     pair_history = list(pair_records)
+    # per-level-best carryover is gated on the SAME config AND the same
+    # scaling-job code (content hash) — a stale faster run of older code
+    # or a different n_points must never inflate the headline (ADVICE r3).
+    # The paired history below needs only the config gate: each pair's
+    # RATIO is internally consistent (both levels ran the same code), so
+    # ratios stay comparable across code versions; absolute throughputs
+    # don't.
+    import hashlib
+    job_sha = hashlib.sha1(
+        (REPO / "scripts" / "scaling_job.py").read_bytes()).hexdigest()[:12]
     if prev_path.exists():
         try:
             prev = json.loads(prev_path.read_text())
-            plo = prev["levels"].get(f"local[{n}]")
-            phi = prev["levels"].get(f"local[{4 * n}]")
-            if plo and (lo is None or plo["docs_per_sec"] > lo["docs_per_sec"]):
-                lo = plo
-            if phi and (hi is None or phi["docs_per_sec"] > hi["docs_per_sec"]):
-                hi = phi
+            if (prev.get("n_points") == n_points
+                    and prev.get("job_sha") == job_sha):
+                plo = prev["levels"].get(f"local[{n}]")
+                phi = prev["levels"].get(f"local[{4 * n}]")
+                if plo and (lo is None
+                            or plo["docs_per_sec"] > lo["docs_per_sec"]):
+                    lo = plo
+                if phi and (hi is None
+                            or phi["docs_per_sec"] > hi["docs_per_sec"]):
+                    hi = phi
             # accumulate the paired history across invocations so
             # quiet-window pairs collected over time form one sample —
             # but ONLY pairs of the SAME config (cores pair + n_points):
@@ -144,6 +158,7 @@ def main() -> None:
     result = {
         "metric": "scaling efficiency N->4N (same job, same input)",
         "n_points": n_points,
+        "job_sha": job_sha,
         "levels": {f"local[{n}]": lo, f"local[{4 * n}]": hi},
         "docs_per_sec_N": lo["docs_per_sec"],
         "docs_per_sec_4N": hi["docs_per_sec"],

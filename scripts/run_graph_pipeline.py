@@ -40,7 +40,7 @@ from urbanistic_polygons_spark.operators.classify import (  # noqa: E402
     classify_barrier_ways, classify_landuse_ways)
 from urbanistic_polygons_spark.operators.graph_build import (  # noqa: E402
     build_faces_from_ways, build_graph_tables, classify_barriers,
-    split_ways_to_edges)
+    planarize_edges, split_ways_to_edges)
 from urbanistic_polygons_spark.operators.landuse_join import (  # noqa: E402
     assign_landuse, dominant_type)
 from urbanistic_polygons_spark.operators.merge import (  # noqa: E402
@@ -102,8 +102,13 @@ def run(spark, workdir: str, k: int = 6,
            .join(faces.select("face_guid", "anchor_cell"), "face_guid"))
     dom = run_stage("landuse", dom, "anchor_cell")
 
-    # stage 4: merge-by-similarity regions
-    edges = split_ways_to_edges(nodes, classify_barriers(ways))
+    # stage 4: merge-by-similarity regions.  Edges MUST be planarized to
+    # match the faces (built with planarize_crossings=True): on crossing
+    # non-noded ways, face boundary segments split at the intersection
+    # point, and unplanarized edge unit segments would never match those
+    # keys -> every such boundary falls to _DEFAULT_RESISTANCE and
+    # legitimate merges are silently blocked.
+    edges = planarize_edges(split_ways_to_edges(nodes, classify_barriers(ways)))
     seg_res = segment_resistance(edges, classify_barrier_ways(spark, ways))
     merged = merge_faces(faces, seg_res, merge_threshold,
                          dominant=dom.select("face_guid", "dominant_cls"))

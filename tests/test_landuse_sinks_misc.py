@@ -584,3 +584,49 @@ def test_lineage_compact_and_vacuum(spark, tmp_path):
                      "s", "part")
     assert sorted((r.part, r.v) for r in store.read("s").collect()) == (
         before + [(5, 50)])
+
+
+def test_lineage_empty_first_commit(spark, tmp_path):
+    """A first-ever checkpoint whose todo is EMPTY must commit cleanly
+    (no files -> no parquet schema to infer) and return an empty frame
+    with the input schema; a later real commit proceeds normally."""
+    from urbanistic_polygons_spark.plans.lineage import LineageStore
+    store = LineageStore(str(tmp_path / "ckpt"))
+    df = spark.range(20).withColumn("part", F.col("id") % 2)
+
+    out = store.checkpoint(df.filter(F.lit(False)), "s", "part")
+    assert out.count() == 0
+    assert out.schema == df.schema
+    snaps = store.snapshots("s")
+    assert snaps[-1]["rows_added"] == 0
+    assert snaps[-1]["added_partitions"] == []
+    assert store.counters("s")["n_rows"] == 0
+
+    out2 = store.checkpoint(df, "s", "part")
+    assert out2.count() == 20
+    assert store.counters("s")["n_rows"] == 20
+    # write-metric counters match what actually committed
+    assert store.snapshots("s")[-1]["added_partitions"] == [0, 1]
+
+
+def test_lineage_compact_updates_counters_and_expires_as_of(spark, tmp_path):
+    """compact() must keep the legacy counters file in step (ADVICE r3:
+    current_snapshot pointed at a deleted commit id) and reads as-of a
+    compacted-away snapshot must raise, not silently return empty."""
+    import pytest
+    from urbanistic_polygons_spark.plans.lineage import LineageStore
+    store = LineageStore(str(tmp_path / "store"))
+    store.checkpoint(
+        spark.createDataFrame([(1, 10), (2, 20)], "part long, v long"),
+        "s", "part")
+    store.checkpoint(
+        spark.createDataFrame([(3, 30)], "part long, v long"), "s", "part")
+    cid = store.compact("s")
+    c = store.counters("s")
+    assert c["current_snapshot"] == cid
+    assert c["n_rows"] == 3 and c["n_partitions"] == 3
+    assert store.read("s", as_of=cid).count() == 3
+    with pytest.raises(LookupError, match="expired by compaction"):
+        store.read("s", as_of=1)
+    with pytest.raises(LookupError, match="does not exist"):
+        LineageStore(str(tmp_path / "store")).read("s", as_of=0)

@@ -163,3 +163,44 @@ def test_graph_pipeline_stages_and_resume(spark, tmp_path):
     for name, s1 in r1["stages"].items():
         assert r2["stages"][name]["rows"] == s1["rows"], name
         assert r2["stages"][name]["partitions"] == s1["partitions"], name
+
+
+def test_crossing_ways_boundary_segments_match(spark):
+    """TRUE crossing without a shared node (ADVICE r3): faces are built
+    with planarize_crossings=True, so their boundary segments split at
+    the intersection point.  segment_resistance fed UNPLANARIZED edges
+    leaves those keys unmatched (merge fails safe = blocked); fed
+    PLANARIZED edges (the pipeline's stage-4 form) every boundary
+    segment matches and the residential triangles merge."""
+    from urbanistic_polygons_spark.operators.graph_build import planarize_edges
+
+    b_lon, b_lat, s = 4.78, 51.26, 0.004
+    nodes = spark.createDataFrame(
+        [(1, b_lon, b_lat), (2, b_lon + s, b_lat),
+         (3, b_lon + s, b_lat + s), (4, b_lon, b_lat + s)],
+        schema="node_id long, lon double, lat double")
+    tags = {"highway": "residential"}
+    ways = spark.createDataFrame(
+        [(10, [1, 2, 3, 4, 1], tags),   # square ring
+         (11, [1, 3], tags),            # diagonal
+         (12, [2, 4], tags)],           # crossing diagonal, NOT noded
+        schema="way_id long, nodes array<long>, tags map<string,string>")
+
+    faces = build_faces_from_ways(nodes, ways).localCheckpoint(eager=True)
+    inter = interior_faces(faces)
+    assert inter.count() == 4           # 4 triangles
+    segs = face_boundary_segments(inter)
+    way_res = classify_barrier_ways(spark, ways)
+
+    edges_raw = split_ways_to_edges(nodes, classify_barriers(ways))
+    res_raw = segment_resistance(edges_raw, way_res)
+    # the divergence is real: half-diagonal boundary keys never match
+    assert segs.join(res_raw, "seg_key", "left_anti").count() > 0
+    # fail-safe check: with unplanarized resistance nothing merges
+    raw_merged = merge_faces(faces, res_raw, threshold=3)
+    assert raw_merged.select("region").distinct().count() == 4
+
+    res_pl = segment_resistance(planarize_edges(edges_raw), way_res)
+    assert segs.join(res_pl, "seg_key", "left_anti").count() == 0
+    merged = merge_faces(faces, res_pl, threshold=3)
+    assert merged.select("region").distinct().count() == 1

@@ -29,9 +29,10 @@ from __future__ import annotations
 import json
 import os
 import time
+import uuid
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -89,7 +90,18 @@ class LineageStore:
         snaps = self.snapshots(stage)
         if as_of is None:
             return snaps
-        return [s for s in snaps if s["snapshot_id"] <= as_of]
+        vis = [s for s in snaps if s["snapshot_id"] <= as_of]
+        if not vis and snaps:
+            # as_of predates every live snapshot: either it was expired by
+            # compact() (its id is in some compacted_from) or it never
+            # existed.  Raise loudly instead of silently returning an
+            # empty frame (Iceberg's expire-snapshots behaves the same).
+            expired = any(c <= as_of for s in snaps
+                          for c in s.get("compacted_from", []))
+            raise LookupError(
+                f"snapshot {as_of} of stage {stage!r} "
+                + ("was expired by compaction" if expired else "does not exist"))
+        return vis
 
     def committed_partitions(self, stage: str,
                              as_of: int | None = None) -> list:
@@ -138,18 +150,30 @@ class LineageStore:
                 [(d,) for d in done], f"{partition_col} long")
             todo = df.join(F.broadcast(done_df), partition_col, "left_anti")
         out_dir = str(self._stage_dir(stage))
-        (todo.withColumn("_commit", F.lit(cid))
-         .write.mode("append")
+        # counters come from WRITE-JOB metrics (df.observe on the plan
+        # being written), not a read-back of the committed files — at
+        # scale a post-commit re-scan reads every byte just written, per
+        # commit (Iceberg takes both counters from write-task metrics).
+        # AQE's empty-relation pruning would drop the CollectMetrics node
+        # exactly when todo is empty (Observation.get then hangs) — the
+        # shared exclusion helper guards that.
+        from ..operators.dedup import ensure_metrics_survive
+        ensure_metrics_survive(todo)
+        obs = Observation(f"lineage_{stage}_{cid}_{uuid.uuid4().hex[:8]}")
+        staged = (todo.withColumn("_commit", F.lit(cid))
+                  .observe(obs,
+                           F.count(F.lit(1)).alias("rows_added"),
+                           F.collect_set(partition_col)
+                           .alias("added_partitions")))
+        (staged.write.mode("append")
          .partitionBy(partition_col, "_commit").parquet(out_dir))
         # the files are on disk but INVISIBLE until the snapshot record
         # lands — a kill between write and commit leaves orphan files that
         # no read will ever include (and a re-run re-adds their partitions
         # under a new commit id)
-        committed_read = (spark.read.parquet(out_dir)
-                          .filter(F.col("_commit") == cid))
-        added = [r[0] for r in
-                 committed_read.select(partition_col).distinct().collect()]
-        rows_added = committed_read.count()
+        metrics = obs.get
+        added = list(metrics["added_partitions"] or [])
+        rows_added = int(metrics["rows_added"])
         snaps.append({
             "snapshot_id": cid,
             "parent_id": snaps[-1]["snapshot_id"] if snaps else None,
@@ -169,6 +193,11 @@ class LineageStore:
             "current_snapshot": cid,
             "committed_at": time.time(),
         })
+        if not any(s["added_partitions"] for s in snaps):
+            # nothing has EVER been written for this stage: the directory
+            # holds no parquet footers, so a read-back would fail schema
+            # inference — return an empty frame with the input's schema
+            return spark.createDataFrame([], df.schema)
         return self.read(stage)
 
     def read(self, stage: str, as_of: int | None = None) -> DataFrame:
@@ -249,6 +278,16 @@ class LineageStore:
                 "compacted_from": [s["snapshot_id"] for s in old],
             }],
             "last_id": cid,
+        })
+        # keep the legacy counters file in step (checkpoint/rollback do):
+        # stale counters would point current_snapshot at an expired id
+        self._atomic_write(self._lineage_path(stage), {
+            "stage": stage,
+            "partitions": parts,
+            "n_partitions": len(parts),
+            "n_rows": rows,
+            "current_snapshot": cid,
+            "committed_at": time.time(),
         })
         return cid
 

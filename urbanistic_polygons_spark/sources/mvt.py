@@ -192,6 +192,29 @@ def mvt_kernel(zoom: int):
     return kernel
 
 
+def _bbox_tile_cover(df, zoom: int, keep_cols: list[str]):
+    """Explode each row to its covering (tile_x, tile_y) set from the
+    bbox columns (min_lon..max_lat), keeping ``keep_cols``.  A bbox always
+    covers >= 1 tile: explode_outer dodges the InferFiltersFromGenerate
+    interpreted-filter trap (repo rule)."""
+    from pyspark.sql import functions as F
+
+    from ..functions import cells as C
+
+    return df.withColumn(
+        "tile_xy",
+        F.explode_outer(F.flatten(F.transform(
+            F.sequence(C.tile_y(F.col("max_lat"), zoom),
+                       C.tile_y(F.col("min_lat"), zoom)),
+            lambda cy: F.transform(
+                F.sequence(C.tile_x(F.col("min_lon"), zoom),
+                           C.tile_x(F.col("max_lon"), zoom)),
+                lambda cx: F.struct(cx.alias("x"), cy.alias("y")))))),
+    ).select(*keep_cols,
+             F.col("tile_xy.x").alias("tile_x"),
+             F.col("tile_xy.y").alias("tile_y"))
+
+
 def faces_to_mvt(faces, zoom: int = kernels.DEFAULT_ZOOM):
     """faces(face_guid, ring, min_lon..max_lat) -> one MVT blob per covering
     tile (S7 sink).
@@ -201,26 +224,49 @@ def faces_to_mvt(faces, zoom: int = kernels.DEFAULT_ZOOM):
     pipeline, whose segments live on z14 cell boundaries where the
     float Mercator round-trip is floor-unstable), they are used verbatim;
     otherwise the cover derives from the face bbox JVM-side."""
-    from pyspark.sql import functions as F
-
-    from ..functions import cells as C
-
     if "tile_x" in faces.columns and "tile_y" in faces.columns:
         tiled = faces.select("face_guid", "ring", "tile_x", "tile_y")
     else:
-        # a face bbox always covers >= 1 tile: explode_outer dodges the
-        # InferFiltersFromGenerate interpreted-filter trap (repo rule)
-        tiled = faces.withColumn(
-            "tile_xy",
-            F.explode_outer(F.flatten(F.transform(
-                F.sequence(C.tile_y(F.col("max_lat"), zoom),
-                           C.tile_y(F.col("min_lat"), zoom)),
-                lambda cy: F.transform(
-                    F.sequence(C.tile_x(F.col("min_lon"), zoom),
-                               C.tile_x(F.col("max_lon"), zoom)),
-                    lambda cx: F.struct(cx.alias("x"), cy.alias("y")))))),
-        ).select("face_guid", "ring",
-                 F.col("tile_xy.x").alias("tile_x"),
-                 F.col("tile_xy.y").alias("tile_y"))
+        tiled = _bbox_tile_cover(faces, zoom, ["face_guid", "ring"])
     return tiled.groupBy("tile_x", "tile_y").applyInPandas(
         mvt_kernel(zoom), MVT_SCHEMA)
+
+
+LANDUSE_MVT_SCHEMA = ("tile_z int, tile_x long, tile_y long, mvt binary, "
+                      "n_features int, type_summary string")
+
+
+def landuse_mvt_kernel(zoom: int):
+    """Per-tile encoder for the RAW landuse serve path: layer 'landuse',
+    each feature tagged with its classified ``type`` attribute (reference
+    LanduseTileController.cs:85-126 — scan -> classify -> closed-ring ->
+    dedup -> NTS MVT layer with the 'type' property)."""
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(columns=["tile_z", "tile_x", "tile_y",
+                                         "mvt", "n_features",
+                                         "type_summary"])
+        tx = int(pdf["tile_x"].iloc[0])
+        ty = int(pdf["tile_y"].iloc[0])
+        pdf = pdf.sort_values("lu_id")  # deterministic feature order
+        feats = [{"ring": r.ring,
+                  "props": {"type": r.cls, "lu_id": int(r.lu_id)}}
+                 for r in pdf.itertuples(index=False)]
+        blob = encode_tile(tx, ty, zoom, feats, layer_name="landuse")
+        summary = ",".join(
+            f"{c}:{n}" for c, n in
+            sorted(pdf.groupby("cls").size().items()))
+        return pd.DataFrame([{"tile_z": zoom, "tile_x": tx, "tile_y": ty,
+                              "mvt": blob, "n_features": len(feats),
+                              "type_summary": summary}])
+    return kernel
+
+
+def landuse_to_mvt(polys, zoom: int = kernels.DEFAULT_ZOOM):
+    """E3 raw-landuse serve sink: classified closed landuse rings
+    (lu_id, cls, ring, min_lon..max_lat — classify.classify_landuse_ways
+    output joined to coordinates) -> one MVT blob per covering tile with
+    a 'landuse' layer whose features carry the ``type`` attribute."""
+    tiled = _bbox_tile_cover(polys, zoom, ["lu_id", "cls", "ring"])
+    return tiled.groupBy("tile_x", "tile_y").applyInPandas(
+        landuse_mvt_kernel(zoom), LANDUSE_MVT_SCHEMA)
