@@ -13,7 +13,7 @@ AUDIT = ["pip_assign", "knn_snap", "tile_assign", "q3_shipping", "q5_region",
          "salted_agg", "tile_pyramid", "global_topk", "landuse_rollup",
          "density_mvt", "winnow_fp", "stratified_sample",
          "cross_source_overlap", "embedding_topk", "tile_serve_pyramid",
-         "faces_landuse", "merge_faces"]
+         "faces_landuse", "merge_faces", "landuse_serve"]
 out = ["""# Physical plan audit
 
 Generated from `.explain`/`executedPlan` at sf0.01 (regenerate with
@@ -38,6 +38,17 @@ out.append(f"""
 The flagship `entry()` plan (spans synthesis -> PIP assign -> kNN snap)
 holds {E.entry(spark)._jdf.queryExecution().executedPlan().toString().count("Exchange ")} exchanges after the single-pass kNN rewrite (was 118 with the
 iterative ring loop).
+
+`embedding_topk` is size-gated (similarity.SMALL_TOPK_SCORED_ROWS): at this
+audit's sf0.01 the scored-row hint is below the gate, so the snapshot shows
+the single-merge-shuffle small path; above the gate the Arrow mapInPandas
+phase-1 reduction runs per partition before the same merge (still 1
+exchange — the gate trades only constant Arrow overhead, never shuffle
+shape).  `faces_landuse` dropped 9 -> 4 exchanges in r4 (2 of the 4 are broadcast exchanges): memoized landuse
+rings, the dropDuplicates pair-dedup replaced by a shuffle-free canonical
+meeting-cell filter, the pct>0 filter moved post-agg (a pre-agg filter made
+Catalyst evaluate the Arrow clip UDF twice), and the dominance window
+replaced by a struct-min argmax aggregation.
 
 `dedup_components` is iterative (min-label propagation) and is audited by
 construction, not by its final plan snapshot: each round is one message

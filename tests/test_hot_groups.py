@@ -118,3 +118,49 @@ def test_winnow_fingerprints_semantics(spark):
     assert fps[1] & fps[2]           # shared run -> shared fingerprints
     assert not (fps[1] & fps[3])     # disjoint texts -> no overlap
     assert len(fps[4]) == 1          # < k tokens -> single-hash fallback
+
+
+def test_star_contraction_long_chain(spark):
+    """r3 verdict item 10: a 10^4-node chain (diameter 10^4 — the
+    propagate loop's worst case) converges under algorithm='star' within
+    16 alternations (O(log^2 n)) to the single component labeled by the
+    minimum node id."""
+    from pyspark.sql import functions as F
+
+    from urbanistic_polygons_spark.operators.dedup import near_dup_components
+
+    pairs = spark.range(9999).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
+    out = near_dup_components(pairs, max_rounds=16,
+                              algorithm="star").toPandas()
+    assert len(out) == 10000
+    assert set(out.doc_id) == set(range(10000))
+    assert (out.component == 0).all()
+
+
+def test_star_contraction_matches_propagate(spark):
+    """Star and propagate agree exactly (same min-id component semantics)
+    on a multi-component graph with chains, cliques and singetons-by-merge,
+    for numeric AND string ids."""
+    from pyspark.sql import functions as F
+
+    from urbanistic_polygons_spark.operators.dedup import near_dup_components
+
+    raw = [(0, 1), (1, 2), (2, 3),          # chain -> comp 0
+           (10, 11), (11, 12), (10, 12),    # triangle -> comp 10
+           (20, 21),                        # pair -> comp 20
+           (3, 0)]                          # cycle back
+    pairs = spark.createDataFrame(raw, "doc_a long, doc_b long")
+    star = {(r.doc_id, r.component)
+            for r in near_dup_components(pairs, algorithm="star").collect()}
+    prop = {(r.doc_id, r.component)
+            for r in near_dup_components(pairs).collect()}
+    assert star == prop
+
+    spairs = pairs.select(F.concat(F.lit("n"), F.format_string("%02d", "doc_a")).alias("doc_a"),
+                          F.concat(F.lit("n"), F.format_string("%02d", "doc_b")).alias("doc_b"))
+    star_s = {(r.doc_id, r.component)
+              for r in near_dup_components(spairs, algorithm="star").collect()}
+    prop_s = {(r.doc_id, r.component)
+              for r in near_dup_components(spairs).collect()}
+    assert star_s == prop_s

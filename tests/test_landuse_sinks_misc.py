@@ -630,3 +630,95 @@ def test_lineage_compact_updates_counters_and_expires_as_of(spark, tmp_path):
         store.read("s", as_of=1)
     with pytest.raises(LookupError, match="does not exist"):
         LineageStore(str(tmp_path / "store")).read("s", as_of=0)
+
+
+def test_landuse_serve_mvt_layer(spark):
+    """E3 raw-landuse serve (LanduseTileController.cs:85-126): the MVT
+    blob carries a 'landuse' layer whose key table contains 'type' and
+    whose value table contains every served class; per-tile feature
+    counts match the type_summary column."""
+    from urbanistic_polygons_spark.catalog import _grid_landuse
+    from urbanistic_polygons_spark.sources.mvt import landuse_to_mvt
+
+    out = landuse_to_mvt(_grid_landuse(spark), zoom=14).toPandas()
+    assert len(out) >= 3
+    seen_types = set()
+    for row in out.itertuples(index=False):
+        blob = bytes(row.mvt)
+        layers = [v for f, w, v in _pb_fields(blob) if f == 3]
+        assert len(layers) == 1
+        fields = list(_pb_fields(layers[0]))
+        assert [v for f, w, v in fields if f == 1][0] == b"landuse"
+        assert [v for f, w, v in fields if f == 15] == [2]      # version
+        keys = [v.decode() for f, w, v in fields if f == 3]
+        assert "type" in keys and "lu_id" in keys
+        feats = [v for f, w, v in fields if f == 2]
+        assert len(feats) == row.n_features
+        # string values in the value table = the classes served here
+        vals = []
+        for v in (v for f, w, v in fields if f == 4):
+            for f2, w2, v2 in _pb_fields(v):
+                if f2 == 1:
+                    vals.append(v2.decode())
+        expected = {part.split(":")[0]
+                    for part in row.type_summary.split(",")}
+        assert expected <= set(vals)
+        seen_types |= expected
+    assert seen_types == {"residential", "industrial", "water"}
+
+
+def test_lineage_store_interface_parity(spark, tmp_path):
+    """The parquet emulation and the Iceberg-backed store expose the SAME
+    public surface (the pipeline can switch via make_lineage_store without
+    code changes); the factory returns the parquet store when no Iceberg
+    catalog is configured."""
+    import inspect
+    from urbanistic_polygons_spark.plans.lineage import (
+        IcebergLineageStore, LineageStore, _have_iceberg,
+        make_lineage_store)
+
+    shared = ["checkpoint", "read", "rollback", "snapshots",
+              "committed_partitions", "counters", "is_complete",
+              "compact", "vacuum"]
+    for m in shared:
+        assert callable(getattr(LineageStore, m)), m
+        assert callable(getattr(IcebergLineageStore, m)), m
+        # identical call signatures for the data-path methods
+        if m in ("checkpoint", "read", "rollback", "is_complete"):
+            sig_p = list(inspect.signature(
+                getattr(LineageStore, m)).parameters)
+            sig_i = list(inspect.signature(
+                getattr(IcebergLineageStore, m)).parameters)
+            assert sig_p == sig_i, m
+
+    store = make_lineage_store(spark, str(tmp_path / "wd"))
+    assert isinstance(store, LineageStore)
+
+
+def test_iceberg_lineage_roundtrip(spark, tmp_path):
+    """Real-Iceberg checkpoint/read/resume roundtrip — runs only when the
+    iceberg-spark-runtime jars are on the classpath (absent in this
+    sandbox; the mapping itself is the evidence the switch is code)."""
+    import pytest
+    from urbanistic_polygons_spark.plans.lineage import (
+        IcebergLineageStore, _have_iceberg)
+    if not _have_iceberg(spark):
+        pytest.skip("iceberg-spark-runtime not on the classpath")
+    spark.conf.set("spark.sql.catalog.ic",
+                   "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set("spark.sql.catalog.ic.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.ic.warehouse",
+                   str(tmp_path / "wh"))
+    store = IcebergLineageStore(spark, "ic")
+    df = spark.range(40).withColumn("part", F.col("id") % 4)
+    r1 = store.checkpoint(df.filter(F.col("part") < 2), "s", "part")
+    assert r1.count() == 20
+    assert store.committed_partitions("s") == [0, 1]
+    r2 = store.checkpoint(df, "s", "part")
+    assert r2.count() == 40
+    assert store.counters("s")["n_rows"] == 40
+    snaps = store.snapshots("s")
+    assert len(snaps) == 2
+    assert store.read("s", as_of=snaps[0]["snapshot_id"]).count() == 20
+    store.rollback("s", snaps[0]["snapshot_id"])
+    assert store.read("s").count() == 20

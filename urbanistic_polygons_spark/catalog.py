@@ -1202,8 +1202,20 @@ SELECT * FROM inner_faces UNION ALL SELECT * FROM outer_face
 """
 
 
+_GRID_LANDUSE_CACHE: dict[tuple, DataFrame] = {}
+
+
 def _grid_landuse(spark):
-    """Closed classified ways -> landuse polygon layer (S8)."""
+    """Closed classified ways -> landuse polygon layer (S8), memoized per
+    session like _grid_faces: four catalog queries (faces_landuse,
+    overlap_area, landuse_serve, merge fixtures) consume the same
+    deterministic ring build, so it is localCheckpointed once — the
+    audited downstream plans then start from the materialized rings
+    instead of replaying the classify/explode/collect pipeline."""
+    key = (id(spark), spark.sparkContext.applicationId)
+    memo = _GRID_LANDUSE_CACHE.get(key)
+    if memo is not None:
+        return memo
     from .operators.classify import classify_landuse_ways
     nodes, ways = _grid_graph(spark)
     lu = classify_landuse_ways(spark, ways)
@@ -1230,6 +1242,8 @@ def _grid_landuse(spark):
             F.array_max(F.transform("p", lambda q: q["lat"])).alias("max_lat"),
         )
     )
+    rings = rings.localCheckpoint(eager=True)
+    _GRID_LANDUSE_CACHE[key] = rings
     return rings
 
 
@@ -1531,6 +1545,68 @@ WITH cells AS (
 SELECT CAST(12 AS INT) AS tile_z, x // 4 AS tile_x, y // 4 AS tile_y,
        CAST(COUNT(DISTINCT f) AS INT) AS n_features
 FROM ex2 GROUP BY x // 4, y // 4
+"""
+
+
+def q_landuse_serve_spark(spark, sf_dir):
+    """E3 raw-landuse serve composition (reference
+    LanduseTileController.cs:85-126): way scan -> F2 landuse classify ->
+    F3 closed-ring filter -> F4 dedup (all inside classify_landuse_ways /
+    _grid_landuse) -> per-tile MVT 'landuse' layer whose features carry
+    the classified ``type`` attribute.  Driver-checkable form: (tile_z,
+    tile_x, tile_y, n_features, type_summary) with the encoder forced by
+    the length(mvt) filter; the wire bytes (layer name, type key/value
+    tables) are field-parsed in pytest."""
+    from .sources.mvt import landuse_to_mvt
+
+    tiles = landuse_to_mvt(_grid_landuse(spark), zoom=14)
+    return (tiles.filter(F.length("mvt") > 0)
+            .select("tile_z", "tile_x", "tile_y", "n_features",
+                    "type_summary"))
+
+
+# Closed-form oracle: the lattice's three landuse rects sit on quarter-
+# step offsets (datagen.gen_ways_grid rects, k=6 -> absolute quarter units
+# match _FACES_LANDUSE_SQL's VALUES); corner doubles are reconstructed
+# with the same IEEE expression shape Python used ((A/4.0)*0.01 is the
+# same double as (gx + q/4)*0.01 because quarters are dyadic), then the
+# exact-bbox z14 cover as _MVT_TILES_SQL, with per-type counts.
+_LANDUSE_SERVE_SQL = """
+WITH rects AS (
+  SELECT * FROM (VALUES
+    ('residential', 5, 9, 11, 15),
+    ('industrial', 13, 6, 18, 9),
+    ('water', 6, 10, 8, 12)) r(cls, x0, y0, x1, y1)
+), geo AS (
+  SELECT cls,
+         CAST(4.70 AS DOUBLE) + (x0 / 4.0) * CAST(0.01 AS DOUBLE) AS min_lon,
+         CAST(51.20 AS DOUBLE) + (y0 / 4.0) * CAST(0.01 AS DOUBLE) AS min_lat,
+         CAST(4.70 AS DOUBLE) + (x1 / 4.0) * CAST(0.01 AS DOUBLE) AS max_lon,
+         CAST(51.20 AS DOUBLE) + (y1 / 4.0) * CAST(0.01 AS DOUBLE) AS max_lat
+  FROM rects
+), tx AS (
+  SELECT cls,
+         CAST(FLOOR((min_lon + 180.0) / 360.0 * 16384.0) AS BIGINT) AS x0,
+         CAST(FLOOR((max_lon + 180.0) / 360.0 * 16384.0) AS BIGINT) AS x1,
+         CAST(FLOOR((1.0 - ln(tan(radians(max_lat))
+               + 1.0 / cos(radians(max_lat))) / pi()) / 2.0 * 16384.0)
+              AS BIGINT) AS y0,
+         CAST(FLOOR((1.0 - ln(tan(radians(min_lat))
+               + 1.0 / cos(radians(min_lat))) / pi()) / 2.0 * 16384.0)
+              AS BIGINT) AS y1
+  FROM geo
+), ex1 AS (
+  SELECT cls, unnest(range(x0, x1 + 1)) AS x, y0, y1 FROM tx
+), ex2 AS (
+  SELECT cls, x, unnest(range(y0, y1 + 1)) AS y FROM ex1
+), per AS (
+  SELECT x, y, cls, COUNT(*) AS n FROM ex2 GROUP BY x, y, cls
+)
+SELECT CAST(14 AS INT) AS tile_z, x AS tile_x, y AS tile_y,
+       CAST(SUM(n) AS INT) AS n_features,
+       STRING_AGG(cls || ':' || CAST(n AS VARCHAR), ',' ORDER BY cls)
+         AS type_summary
+FROM per GROUP BY x, y
 """
 
 
@@ -2046,12 +2122,6 @@ SELECT cell_id, COUNT(*) AS n_points, MIN(px) AS min_px, MAX(px) AS max_px,
        CAST(SUM(weight_cents) AS BIGINT) AS sum_weight_cents
 FROM pts_cell GROUP BY cell_id""")
 
-    sql_q("density_raster", f"""
-WITH {PTS}
-SELECT cell_id, (px % 10000) {{D}} 625 AS gx, (py % 10000) {{D}} 625 AS gy,
-       COUNT(*) AS n
-FROM pts_cell GROUP BY 1, 2, 3""")
-
     df_q("pip_assign", q_pip_assign_spark, _render(f"""
 WITH {PTS}, {RECTS}, {PIP_JOIN}
 SELECT point_id, cell_id, MIN(poly_id) AS polygon_id
@@ -2236,6 +2306,9 @@ FROM orders GROUP BY o_custkey, o_orderstatus""")
     # serve-path composition: z12 request -> SubTilesFor descent ->
     # face-GUID dedup -> MVT encode (E1/E3)
     df_q("tile_serve_pyramid", q_tile_serve_spark, _TILE_SERVE_SQL)
+    # E3 raw-landuse serve composition (scan -> classify -> closed-ring ->
+    # dedup -> 'landuse' MVT layer with the type attribute)
+    df_q("landuse_serve", q_landuse_serve_spark, _LANDUSE_SERVE_SQL)
     # merge-by-similarity: the phase the reference specifies but never
     # implements (weights only) — resistance-gated, dominance-gated
     # region components with a recursive-CTE closed-form oracle
@@ -2292,5 +2365,13 @@ SELECT poly_id, MIN(px) AS min_px, MAX(px) AS max_px,
 FROM hits GROUP BY poly_id""", "duckdb"))
     df_q("media_frames", q_media_frames_spark, _MEDIA_FRAMES_SQL)
     df_q("minhash_sig", q_minhash_spark, _minhash_sql(k=8))
+    # demoted with the r4 landuse_serve promotion: green r1-r3, and its
+    # raster arithmetic is a subset of the reported density_mvt +
+    # raster_vectorize pipelines
+    sql_q("density_raster", f"""
+WITH {PTS}
+SELECT cell_id, (px % 10000) {{D}} 625 AS gx, (py % 10000) {{D}} 625 AS gy,
+       COUNT(*) AS n
+FROM pts_cell GROUP BY 1, 2, 3""")
 
     return cat

@@ -188,9 +188,68 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     return pairs.select(F.col("p.doc_a"), F.col("p.doc_b")).distinct()
 
 
+def _star_contraction(sym: DataFrame, max_rounds: int) -> DataFrame:
+    """Alternating large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", Algorithm 2): the
+    O(log^2 n)-round path for HIGH-DIAMETER graphs.  Unlike label
+    propagation — which joins the full, never-shrinking edge set every
+    round — each alternation rewrites the edge set itself toward disjoint
+    stars, so the per-round shuffle volume contracts with the graph.
+
+    ``sym``: symmetric distinct (src, dst) edges, no self-loops.
+    Returns (node, component) with component = min node of the component.
+    """
+    # canonical form: every undirected edge once, directed larger->smaller
+    edges = (sym.filter(F.col("src") > F.col("dst"))
+             .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+             .distinct().localCheckpoint(eager=True))
+    for _ in range(max_rounds):
+        if edges.isEmpty():
+            break
+        # large-star(u): connect every strictly-larger neighbor to
+        # min(Gamma(u) + {u}); output stays larger->smaller canonical
+        full = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = full.groupBy("u").agg(
+            F.least(F.first("u"), F.min("v")).alias("m"))
+        large = (full.join(mins, "u")
+                 .filter(F.col("v") > F.col("u"))
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .filter(F.col("u") != F.col("v"))
+                 .distinct().localCheckpoint(eager=False))
+        # small-star(u): connect u and all its smaller neighbors to the
+        # minimum among them (input/output both larger->smaller)
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        both = (large.join(mins2, "u")
+                .select(F.explode_outer(F.array(
+                    F.struct(F.col("u").alias("x"), F.col("m").alias("y")),
+                    F.struct(F.col("v").alias("x"), F.col("m").alias("y"))))
+                    .alias("e"))
+                .select(F.col("e.x").alias("u"), F.col("e.y").alias("v"))
+                .filter(F.col("u") != F.col("v"))
+                .distinct().localCheckpoint(eager=True))
+        # fixpoint = edge set unchanged (both sets are canonical, so the
+        # two-sided anti-join is exact); counts first for the cheap exit
+        if (both.count() == edges.count()
+                and both.join(edges, ["u", "v"], "left_anti").isEmpty()):
+            edges = both
+            break
+        edges = both
+    # at the fixpoint the edge set is disjoint stars centered on the
+    # component minimum: non-roots are the u side, roots appear only as v
+    roots = (edges.select("v").distinct()
+             .join(edges.select(F.col("u").alias("v")).distinct(),
+                   "v", "left_anti"))
+    return (edges.select(F.col("u").alias("node"),
+                         F.col("v").alias("component"))
+            .unionByName(roots.select(F.col("v").alias("node"),
+                                      F.col("v").alias("component"))))
+
+
 def near_dup_components(pairs: DataFrame, id_a: str = "doc_a",
                         id_b: str = "doc_b",
-                        max_rounds: int = 24) -> DataFrame:
+                        max_rounds: int = 24,
+                        algorithm: str = "propagate") -> DataFrame:
     """Connected components over the near-dup candidate graph: the step
     that turns pair lists (LSH / Jaccard / embedding) into actual dedup
     groups.  Output: (doc_id, component) for every endpoint, where
@@ -200,19 +259,27 @@ def near_dup_components(pairs: DataFrame, id_a: str = "doc_a",
     Min-label propagation to fixpoint: each round every node takes the min
     of its own label and its neighbors' labels (one message join + one
     min-aggregation, both shuffle-on-node-key; lineage cut per round).
-    Rounds needed = component diameter — near-dup clusters are tiny and
-    dense, so a handful; the ``max_rounds`` cap plus an explicit
-    convergence check (no label changed) bounds the loop.  At extreme
-    scale the same loop admits the large-star/small-star contraction
-    (Kiveris et al., "Connected Components in MapReduce"), which shrinks
-    long chains in O(log^2 n) rounds; diameter-bounded propagation is the
-    right default for dedup graphs.
+    Rounds needed = component diameter shrunk geometrically by the
+    pointer jump — near-dup clusters are tiny and dense, so a handful;
+    the ``max_rounds`` cap plus an explicit convergence check (no label
+    changed) bounds the loop.
+
+    ``algorithm="star"`` switches to the alternating large-star/
+    small-star contraction (:func:`_star_contraction`) — the right tool
+    for HIGH-DIAMETER graphs (long chains, road networks): it converges
+    in O(log^2 n) alternations AND its per-round shuffle volume shrinks
+    with the contracting edge set, where propagation re-joins the full
+    edge set every round.  Default stays "propagate": dedup graphs are
+    low-diameter and the propagate loop is one join cheaper per round.
     """
     sym = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
            .unionByName(pairs.select(F.col(id_b).alias("src"),
                                      F.col(id_a).alias("dst")))
            .distinct()
            .localCheckpoint(eager=False))
+    if algorithm == "star":
+        return _star_contraction(sym, max_rounds).select(
+            F.col("node").alias("doc_id"), "component")
     # initialization IS the first propagation round: label(v) = min(v,
     # min neighbor) in the same shuffle that deduplicates nodes — one
     # groupBy replaces distinct-nodes + a full first loop round

@@ -12,7 +12,8 @@ Spark plan shape:
    Sutherland-Hodgman — handles concave x concave, matching the
    reference's NTS Intersection().Area);
 5. groupBy(face).sum per landuse type (A1, map-side partial agg) and a
-   window argmax for the dominant type (A2, TileController.cs:91-117).
+   struct-min argmax aggregation for the dominant type (A2,
+   TileController.cs:91-117) — no window sort.
 
 Invalid-geometry tolerance: the clip kernel never throws; degenerate
 results contribute 0 like the reference's catch block (:74-83).
@@ -22,7 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -91,19 +92,31 @@ def assign_landuse(faces: DataFrame, landuse: DataFrame) -> DataFrame:
         F.col("max_lon").alias("l_maxx"), F.col("max_lat").alias("l_maxy"))
     pairs = (
         f.join(F.broadcast(l), "cell_id")
-        # pair-dedup: a pair meets once per shared cell; keep one
-        .dropDuplicates(["face_guid", "lu_id"])
         # bbox prefilter, JVM-side (reference envelope pre-test :45)
         .filter((F.col("f_minx") <= F.col("l_maxx"))
                 & (F.col("f_maxx") >= F.col("l_minx"))
                 & (F.col("f_miny") <= F.col("l_maxy"))
                 & (F.col("f_maxy") >= F.col("l_miny")))
+        # pair-dedup WITHOUT a shuffle (r3 verdict item 6 — this was a
+        # dropDuplicates = exchange + sort-agg over every candidate pair):
+        # a pair meets once per shared covering cell, so keep only the
+        # CANONICAL meeting cell — the cell of the bbox-intersection's
+        # top-left corner (greatest min_lon, least max_lat), which both
+        # covers contain by construction whenever the bboxes overlap
+        .filter(F.col("cell_id")
+                == C.tile_y(F.least("f_maxy", "l_maxy")) * F.lit(1 << 14)
+                + C.tile_x(F.greatest("f_minx", "l_minx")))
     )
     scored = pairs.withColumn(
         "pct", overlap_ratio_udf(F.col("f_ring"), F.col("l_ring")))
-    return (scored.filter(F.col("pct") > 0)
-            .groupBy("face_guid", "cls")
-            .agg(F.sum("pct").alias("pct")))
+    # filter AFTER the aggregation: a pre-agg pct>0 filter makes Catalyst
+    # evaluate the Arrow UDF TWICE (once for the Filter, once for the
+    # projection — Python UDFs are not CSE'd across them, measured in the
+    # executed plan); zero rows contribute nothing to the sums, and
+    # all-zero groups are dropped by the post-agg filter identically
+    return (scored.groupBy("face_guid", "cls")
+            .agg(F.sum("pct").alias("pct"))
+            .filter(F.col("pct") > 0))
 
 
 def landuse_map(face_landuse: DataFrame) -> DataFrame:
@@ -117,9 +130,15 @@ def landuse_map(face_landuse: DataFrame) -> DataFrame:
 
 def dominant_type(face_landuse: DataFrame) -> DataFrame:
     """A2: max-pct type per face (reference TileController.cs:91-117),
-    deterministic tie-break on class name."""
-    w = Window.partitionBy("face_guid").orderBy(F.desc("pct"), F.asc("cls"))
-    return (face_landuse.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("face_guid", F.col("cls").alias("dominant_cls"),
-                    F.col("pct").alias("dominant_pct")))
+    deterministic tie-break on class name.
+
+    Argmax as ONE aggregation — min over the struct (-pct, cls) — instead
+    of a row_number window (r3 verdict item 6): both phases stay
+    partial-aggregable map-side (the window sorted every (face, cls) row
+    inside an extra exchange+sort).  Double negation is an exact IEEE
+    sign-bit flip, so dominant_pct round-trips bit-for-bit."""
+    best = face_landuse.groupBy("face_guid").agg(
+        F.min(F.struct((-F.col("pct")).alias("negpct"),
+                       F.col("cls").alias("cls"))).alias("b"))
+    return best.select("face_guid", F.col("b.cls").alias("dominant_cls"),
+                       (-F.col("b.negpct")).alias("dominant_pct"))
