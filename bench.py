@@ -25,11 +25,11 @@ HEADLINE = [
     "raster_vectorize", "tile_assign", "cell_halo",
     # relational (incl. broadcast-dim joins and as-of)
     "q1_pricing", "topk_per_group", "sessionize",
-    "q3_shipping", "q5_region", "asof_join",
+    "q3_shipping", "q5_region", "asof_join", "range_join",
     # training-data ops
     "simhash", "minhash_lsh_pairs", "dedup_components", "ngram_jaccard",
     "embedding_topk", "embedding_ivf", "embedding_near_dup",
-    "fingerprint", "exact_dedup_docs",
+    "fingerprint", "exact_dedup_docs", "pack_sequences",
     # multimodal binary columns
     "media_meta", "media_features",
     # interleaved spans synthesis

@@ -13,7 +13,8 @@ AUDIT = ["pip_assign", "knn_snap", "tile_assign", "q3_shipping", "q5_region",
          "salted_agg", "tile_pyramid", "global_topk", "landuse_rollup",
          "density_mvt", "winnow_fp", "stratified_sample",
          "cross_source_overlap", "embedding_topk", "tile_serve_pyramid",
-         "faces_landuse", "merge_faces", "landuse_serve"]
+         "faces_landuse", "merge_faces", "landuse_serve",
+         "range_join", "pack_sequences"]
 out = ["""# Physical plan audit
 
 Generated from `.explain`/`executedPlan` at sf0.01 (regenerate with
@@ -49,6 +50,14 @@ rings, the dropDuplicates pair-dedup replaced by a shuffle-free canonical
 meeting-cell filter, the pct>0 filter moved post-agg (a pre-agg filter made
 Catalyst evaluate the Arrow clip UDF twice), and the dominance window
 replaced by a struct-min argmax aggregation.
+
+`range_join` is the banded interval join: the window side explodes into
+10-minute bands, so the audit must show a hash equi-join on
+`(band, user_id)` and NO BroadcastNestedLoopJoin — the plain
+`ts BETWEEN s AND e` formulation Spark would otherwise pick (also
+lint-pinned by tests/test_interval_join.py).  `pack_sequences` is one
+shuffle on `shard` into the greedy applyInPandas fill kernel — the
+sequential recurrence is bounded per shard by construction.
 
 `dedup_components` is iterative (min-label propagation) and is audited by
 construction, not by its final plan snapshot: each round is one message

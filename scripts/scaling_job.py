@@ -130,7 +130,7 @@ def run_once(spark, cores: int, n_points: int, nonce: int):
 
 def main() -> None:
     cores = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    n_points = int(sys.argv[2]) if len(sys.argv) > 2 else 80_000_000
+    n_points = int(sys.argv[2]) if len(sys.argv) > 2 else 160_000_000
     iters = int(sys.argv[3]) if len(sys.argv) > 3 else 3
 
     spark = get_spark(
