@@ -37,6 +37,36 @@ def test_exactly_once_across_bands(spark):
     assert j["pid"].is_unique
 
 
+def test_randomized_vs_brute_force(spark):
+    # seeded stress: interval lengths 0..70 (0-7 bands at width 10, incl.
+    # degenerate empty), timestamps clustered so band boundaries are hit,
+    # multiple keys — banded result must equal the brute-force theta join
+    import numpy as np
+    rng = np.random.default_rng(7)
+    n_iv, n_pt = 200, 500
+    iv = pd.DataFrame({
+        "iid": np.arange(n_iv),
+        "k": rng.integers(0, 5, n_iv),
+        "s_us": rng.integers(0, 300, n_iv),
+    })
+    iv["e_us"] = iv["s_us"] + rng.integers(0, 71, n_iv)
+    pts = pd.DataFrame({
+        "pid": np.arange(n_pt),
+        "k": rng.integers(0, 5, n_pt),
+        "ts_us": rng.integers(0, 380, n_pt),
+    })
+    got = (interval_join_banded(spark.createDataFrame(pts),
+                                spark.createDataFrame(iv),
+                                band=10, keys=["k"], how="inner")
+           .select("iid", "pid").toPandas()
+           .sort_values(["iid", "pid"]).reset_index(drop=True))
+    m = iv.merge(pts, on="k")
+    exp = (m[(m["ts_us"] >= m["s_us"]) & (m["ts_us"] < m["e_us"])]
+           [["iid", "pid"]].sort_values(["iid", "pid"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
 def test_left_keeps_empty_intervals(spark):
     iv = spark.createDataFrame(pd.DataFrame(
         {"iid": [1, 2], "k": [1, 2], "s_us": [0, 100], "e_us": [50, 150]}))
