@@ -14,7 +14,8 @@ AUDIT = ["pip_assign", "knn_snap", "tile_assign", "q3_shipping", "q5_region",
          "density_mvt", "winnow_fp", "stratified_sample",
          "cross_source_overlap", "embedding_topk", "tile_serve_pyramid",
          "faces_landuse", "merge_faces", "landuse_serve",
-         "range_join", "pack_sequences"]
+         "range_join", "pack_sequences", "repetition_ratio",
+         "training_order"]
 out = ["""# Physical plan audit
 
 Generated from `.explain`/`executedPlan` at sf0.01 (regenerate with
@@ -58,6 +59,13 @@ replaced by a struct-min argmax aggregation.
 lint-pinned by tests/test_interval_join.py).  `pack_sequences` is one
 shuffle on `shard` into the greedy applyInPandas fill kernel — the
 sequential recurrence is bounded per shard by construction.
+
+`repetition_ratio` must show two hash aggregates (partial+final on
+(doc_id, gram), then on doc_id) and zero joins/windows.
+`training_order` is the two-pass global rank: the audit should show the
+per-(epoch, bucket) window (each window a ~1/32 hash-range block) and a
+BroadcastHashJoin against the 64-row offsets table — never a global
+single-partition window.
 
 `dedup_components` is iterative (min-label propagation) and is audited by
 construction, not by its final plan snapshot: each round is one message
