@@ -30,7 +30,7 @@ HEADLINE = [
     "simhash", "minhash_lsh_pairs", "dedup_components", "ngram_jaccard",
     "embedding_topk", "embedding_ivf", "embedding_near_dup",
     "fingerprint", "exact_dedup_docs", "pack_sequences",
-    "repetition_ratio", "training_order",
+    "repetition_ratio", "training_order", "token_budget_mix",
     # multimodal binary columns
     "media_meta", "media_features",
     # interleaved spans synthesis

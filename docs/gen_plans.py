@@ -15,7 +15,7 @@ AUDIT = ["pip_assign", "knn_snap", "tile_assign", "q3_shipping", "q5_region",
          "cross_source_overlap", "embedding_topk", "tile_serve_pyramid",
          "faces_landuse", "merge_faces", "landuse_serve",
          "range_join", "pack_sequences", "repetition_ratio",
-         "training_order"]
+         "training_order", "token_budget_mix"]
 out = ["""# Physical plan audit
 
 Generated from `.explain`/`executedPlan` at sf0.01 (regenerate with
@@ -65,7 +65,10 @@ sequential recurrence is bounded per shard by construction.
 `training_order` is the two-pass global rank: the audit should show the
 per-(epoch, bucket) window (each window a ~1/32 hash-range block) and a
 BroadcastHashJoin against the 64-row offsets table — never a global
-single-partition window.
+single-partition window.  `token_budget_mix` is the same two-pass shape
+as a prefix sum: per-(stratum, bucket) running-sum window plus a
+BroadcastHashJoin against the pruned offsets table (off < budget) — the
+prune must sit on the offsets side, before the big join.
 
 `dedup_components` is iterative (min-label propagation) and is audited by
 construction, not by its final plan snapshot: each round is one message

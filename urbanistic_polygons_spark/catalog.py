@@ -1094,6 +1094,18 @@ def q_training_order_spark(spark, sf_dir):
     return assign_global_positions(spark.table("documents"), epochs=2)
 
 
+def q_token_mix_spark(spark, sf_dir):
+    """Token-budget corpus mixing: per language, keep the seeded-hash
+    prefix of documents whose cumulative char weight fits a 12k budget,
+    via the two-pass bucket-offset distributed prefix sum in
+    operators/mixing.py (with bucket-level pruning) — no per-stratum
+    single-partition window.  Oracle: the equivalent (tiny-scale-safe)
+    running SUM() OVER per stratum."""
+    from .operators.mixing import token_budget_mix
+    register_views(spark, sf_dir)
+    return token_budget_mix(spark.table("documents"), budget=12000)
+
+
 def q_exact_dedup_docs_spark(spark, sf_dir):
     from .operators.dedup import exact_dedup
     register_views(spark, sf_dir)
@@ -2053,6 +2065,23 @@ SELECT epoch, doc_id, h,
 FROM h
 """
 
+# per-language char-budget mixing prefix: the oracle may use the
+# per-stratum running-sum window (tiny scale); the Spark side must NOT
+# (bucket-offset distributed prefix sum with bucket pruning)
+_TOKEN_MIX_SQL = f"""
+WITH h AS (
+  SELECT doc_id, lang AS stratum, n_chars,
+         {_H31.format(x="'mix0:' || CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents
+), c AS (
+  SELECT stratum, doc_id, CAST(n_chars AS BIGINT) AS w,
+         CAST(SUM(n_chars) OVER (PARTITION BY stratum ORDER BY h, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM h
+)
+SELECT stratum, doc_id, w, cum FROM c WHERE cum <= 12000
+"""
+
 _STOP = {
     "en": "['the','and','of','to','in','is','that','for','with','as']",
     "es": "['el','la','de','que','y','en','los','del','las','por']",
@@ -2352,7 +2381,6 @@ orph AS (
 SELECT point_id, cell_id, poly_id AS polygon_id, ring, d2
 FROM ranked WHERE rn = 1""", "duckdb"))
 
-    df_q("tile_pyramid", q_tile_pyramid_spark, _TILE_PYRAMID_SQL)
     df_q("salted_agg", q_salted_agg_spark, _SALTED_AGG_SQL)
     df_q("overlap_area", q_overlap_area_spark, _OVERLAP_AREA_SQL)
 
@@ -2438,6 +2466,10 @@ GROUP BY GROUPING SETS ((cls, cell_y), (cls), ())""", "duckdb"))
     # rank — no single-partition window; global_topk demoted to the tail
     # to make room (see the rotation comment below).
     df_q("training_order", q_training_order_spark, _TRAINING_ORDER_SQL)
+    # token-budget corpus mixing (NEW r4): distributed prefix-sum cutoff
+    # with bucket pruning — tile_pyramid demoted to the tail to make
+    # room (see the rotation comment below).
+    df_q("token_budget_mix", q_token_mix_spark, _TOKEN_MIX_SQL)
     df_q("stratified_sample", q_stratified_sample_spark, _STRATIFIED_SAMPLE_SQL)
     df_q("cross_source_overlap", q_cross_source_overlap_spark,
          _CROSS_SOURCE_SQL)
@@ -2508,7 +2540,10 @@ GROUP BY GROUPING SETS ((cls, cell_y), (cls), ())""", "duckdb"))
     #   pipeline end-to-end),
     # - pivot_status / global_topk (demoted for the NEW r4
     #   repetition_ratio / training_order operators; both are thin
-    #   relational sql_q surface green r1-r3, see their tail comments).
+    #   relational sql_q surface green r1-r3, see their tail comments),
+    # - tile_pyramid (demoted for the NEW r4 token_budget_mix operator;
+    #   green r1-r3, and its pyramid-descent arithmetic is composed
+    #   end-to-end by the still-reported tile_serve_pyramid).
     # All remain fully usable catalog queries and pytest-gated
     # (tests/test_catalog_oracle.py runs ALL entries, uncapped).
     # ------------------------------------------------------------------
@@ -2589,5 +2624,9 @@ WITH {PTS}
 SELECT point_id, px, py, weight_cents FROM pts
 ORDER BY weight_cents DESC, point_id
 LIMIT 100""")
+    # demoted with the r4 token_budget_mix promotion: green r1-r3; the
+    # still-reported tile_serve_pyramid composes the same SubTilesFor
+    # descent end-to-end
+    df_q("tile_pyramid", q_tile_pyramid_spark, _TILE_PYRAMID_SQL)
 
     return cat
