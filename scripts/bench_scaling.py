@@ -43,6 +43,11 @@ REPO = Path(__file__).resolve().parent.parent
 # reads ambient load only
 QUIET_PROBE_S = 0.6
 
+# per-pair crash-safe checkpoint log (append-only jsonl); pairs recorded
+# here survive an interrupted batch and are merged (deduplicated) into
+# the paired history on the next invocation
+PAIRS_LOG = REPO / "BENCH_SCALING_pairs.jsonl"
+
 
 def run_level(cores: int, n_points: int) -> dict:
     # 7 iterations per level: the per-level statistic is min-of-iters, and
@@ -69,6 +74,9 @@ def main() -> None:
     # the same window and take the median pair ratio — an estimator that
     # cannot be accused of cherry-picking, reported ALONGSIDE the
     # per-level-best one below.
+    import hashlib
+    job_sha = hashlib.sha1(
+        (REPO / "scripts" / "scaling_job.py").read_bytes()).hexdigest()[:12]
     runs_lo, runs_hi, pair_records = [], [], []
     for _ in range(pairs):
         lo_r = run_level(n, n_points)
@@ -92,6 +100,22 @@ def main() -> None:
             # gate is on the covariate, never on the efficiency value.
             "quiet": bool(probes) and max(probes) < QUIET_PROBE_S,
         })
+        # checkpoint the pair IMMEDIATELY: a batch interrupted at round
+        # end (or by a session kill) must not lose completed pairs — the
+        # jsonl is append-only (crash leaves at worst one torn last line,
+        # tolerated at read time), and each completed level run is also
+        # kept so an interrupted pair's lo-level work still feeds the
+        # per-level-best estimator on the next invocation.
+        with PAIRS_LOG.open("a") as fh:
+            fh.write(json.dumps({"pair": pair_records[-1],
+                                 "job_sha": job_sha,
+                                 "lo": lo_r, "hi": hi_r}) + "\n")
+            fh.flush()
+            os.fsync(fh.fileno())
+        print(f"pair {len(pair_records)}/{pairs}: "
+              f"eff={pair_records[-1]['eff']} "
+              f"quiet={pair_records[-1]['quiet']} "
+              f"probes={pair_records[-1]['probes']}", flush=True)
     paired_effs = [p["eff"] for p in pair_records]
     pair_probes = [[r.get("cpu_probe_s") for r in runs_lo],
                    [r.get("cpu_probe_s") for r in runs_hi]]
@@ -113,9 +137,6 @@ def main() -> None:
     # RATIO is internally consistent (both levels ran the same code), so
     # ratios stay comparable across code versions; absolute throughputs
     # don't.
-    import hashlib
-    job_sha = hashlib.sha1(
-        (REPO / "scripts" / "scaling_job.py").read_bytes()).hexdigest()[:12]
     if prev_path.exists():
         try:
             prev = json.loads(prev_path.read_text())
@@ -150,6 +171,42 @@ def main() -> None:
             pair_history = prev_pairs + pair_history
         except (ValueError, KeyError):
             pass
+    # recover pairs from the crash-safe per-pair log that never made it
+    # into BENCH_SCALING.json (batch interrupted between pairs).  A pair
+    # is identified by its (eff, probes) measurement tuple — completed
+    # batches write each pair to BOTH places, so dedup is required.
+    if PAIRS_LOG.exists():
+        seen = {(p["eff"], tuple(p.get("probes") or ()))
+                for p in pair_history}
+        recovered = []
+        for line in PAIRS_LOG.read_text().splitlines():
+            try:
+                rec = json.loads(line)
+            except ValueError:  # torn last line from a crash mid-append
+                continue
+            p = rec.get("pair") or {}
+            key = (p.get("eff"), tuple(p.get("probes") or ()))
+            if (p.get("cfg") == {"n": n, "n_points": n_points}
+                    and key not in seen):
+                seen.add(key)
+                recovered.append(p)
+            # an orphaned pair's level runs also feed the per-level-best
+            # estimator, under the same job_sha + input gate as the
+            # BENCH_SCALING.json carryover
+            if rec.get("job_sha") == job_sha:
+                for r in (rec.get("lo"), rec.get("hi")):
+                    if not r or r.get("n_points") != n_points:
+                        continue
+                    if r.get("cores") == n and (
+                            lo is None
+                            or r["docs_per_sec"] > lo["docs_per_sec"]):
+                        lo = r
+                    elif r.get("cores") == 4 * n and (
+                            hi is None
+                            or r["docs_per_sec"] > hi["docs_per_sec"]):
+                        hi = r
+        # recovered pairs predate this invocation's fresh records
+        pair_history = recovered + pair_history
     if lo is None or hi is None:
         raise SystemExit("no level measurements available (run without "
                          "--report-only first)")
