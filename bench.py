@@ -31,6 +31,7 @@ HEADLINE = [
     "embedding_topk", "embedding_ivf", "embedding_near_dup",
     "fingerprint", "exact_dedup_docs", "pack_sequences",
     "repetition_ratio", "training_order", "token_budget_mix",
+    "line_dedup", "pii_redact",
     # multimodal binary columns
     "media_meta", "media_features",
     # interleaved spans synthesis

@@ -15,7 +15,7 @@ AUDIT = ["pip_assign", "knn_snap", "tile_assign", "q3_shipping", "q5_region",
          "cross_source_overlap", "embedding_topk", "tile_serve_pyramid",
          "faces_landuse", "merge_faces", "landuse_serve",
          "range_join", "pack_sequences", "repetition_ratio",
-         "training_order", "token_budget_mix"]
+         "training_order", "token_budget_mix", "line_dedup", "pii_redact"]
 out = ["""# Physical plan audit
 
 Generated from `.explain`/`executedPlan` at sf0.01 (regenerate with
@@ -62,6 +62,13 @@ sequential recurrence is bounded per shard by construction.
 
 `repetition_ratio` must show two hash aggregates (partial+final on
 (doc_id, gram), then on doc_id) and zero joins/windows.
+`line_dedup` must show exactly the explode + three partial-agg shuffles
+(line winners, kept-per-doc, totals-per-doc) + one doc-keyed join of two
+doc-sized aggregates — the exploded line set never self-joins; a window
+or a join back to the line set would be the 100 TB regression to watch
+for.
+`pii_redact` must be a single projection stage: zero exchanges, zero
+ArrowEvalPython (the regexes are JVM `regexp_count`/`regexp_replace`).
 `training_order` is the two-pass global rank: the audit should show the
 per-(epoch, bucket) window (each window a ~1/32 hash-range block) and a
 BroadcastHashJoin against the 64-row offsets table — never a global

@@ -136,3 +136,35 @@ def winnow_windows(grams: Column, w: int = 4) -> Column:
     # zero-token docs fingerprint to [] like the DuckDB oracle
     return F.array_sort(F.array_distinct(
         F.filter(mins, lambda m: m.isNotNull())))
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (training-data scrubbing).  Pure JVM regexp
+# expressions; the patterns stay inside the (large) dialect intersection of
+# Java regex and DuckDB's RE2 — character classes, bounded repetition and
+# \b only, no lookaround — so the oracle runs them verbatim.
+# ---------------------------------------------------------------------------
+
+PII_EMAIL = r"[a-z0-9]+@[a-z0-9]+\.[a-z]+"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+1-555-\d{4}"
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """(n_emails, n_ips, n_phones) as long columns."""
+    return [
+        F.regexp_count(text, F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(text, F.lit(PII_IPV4)).cast("long").alias("n_ips"),
+        F.regexp_count(text, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+    ]
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every email/IPv4/phone match with a typed mask token.
+    Order matters only if patterns overlap — these can't (an email match
+    contains '@', an IPv4 match is digits-and-dots, a phone match starts
+    with '+'), so the three replacements commute and one fixed order is
+    canonical for the oracle."""
+    r = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    r = F.regexp_replace(r, PII_IPV4, "<IP>")
+    return F.regexp_replace(r, PII_PHONE, "<PHONE>")

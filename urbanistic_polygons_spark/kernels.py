@@ -524,3 +524,51 @@ def bbox_overlaps(aminx, aminy, amaxx, amaxy, bminx, bminy, bmaxx, bmaxy,
         & (np.asarray(aminy) <= np.asarray(bmaxy) + eps)
         & (np.asarray(amaxy) >= np.asarray(bminy) - eps)
     )
+
+
+def dp_keep_mask(x: np.ndarray, y: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas-Peucker keep-mask over a polyline (iterative stack; float64
+    squared-distance comparison ``cross^2 > tol^2 * len^2`` so no sqrt).
+
+    Works unchanged for CLOSED rings passed with the closing duplicate
+    point: both anchors are vertex 0, the anchor segment degenerates, and
+    the first split lands on the vertex radially farthest from vertex 0 —
+    the standard closed-ring DP anchoring.
+
+    Zoom-dependent MVT generalization companion: the reference serves
+    full-resolution rings at every zoom (TileController.cs:78-141); at
+    z<10 a 4096-extent tile cannot resolve sub-tolerance detail, so
+    simplification is pure win at scale.
+    """
+    n = x.size
+    keep = np.zeros(n, dtype=bool)
+    if n == 0:
+        return keep
+    keep[0] = keep[-1] = True
+    if n <= 2:
+        return keep
+    tol2 = float(tol) * float(tol)
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j - i < 2:
+            continue
+        ax, ay, bx, by = x[i], y[i], x[j], y[j]
+        px = x[i + 1:j]
+        py = y[i + 1:j]
+        dx, dy = bx - ax, by - ay
+        seg2 = dx * dx + dy * dy
+        if seg2 == 0.0:
+            d2 = (px - ax) ** 2 + (py - ay) ** 2
+            thresh = tol2
+        else:
+            cross = dx * (py - ay) - dy * (px - ax)
+            d2 = cross * cross
+            thresh = tol2 * seg2
+        k = int(np.argmax(d2))
+        if d2[k] > thresh:
+            m = i + 1 + k
+            keep[m] = True
+            stack.append((i, m))
+            stack.append((m, j))
+    return keep

@@ -429,3 +429,61 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                 >= F.lit(t) * (F.col("n_a") + F.col("n_b") - F.col("inter")))
         .select("doc_a", "doc_b", "inter", "n_a", "n_b")
     )
+
+
+# position encoding base for the first-occurrence winner key: doc_id and
+# line position are packed into one int64 so a single MIN() decides the
+# winner with (doc_id, pos) lexicographic order, in Spark and DuckDB alike
+LINE_POS_BASE = 1 << 20
+
+
+def line_dedup_stats(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", chunk: int = 8) -> DataFrame:
+    """Corpus-wide exact line-level dedup stats (C4 §2.2 / RefinedWeb-style
+    line dedup): every document is cut into fixed ``chunk``-token lines,
+    each distinct line is kept only at its FIRST occurrence — minimum
+    (doc_id, position), encoded as one int64 key so a plain MIN aggregate
+    decides the winner — and each document reports how many of its lines
+    survive.
+
+    Scale shape (100 TB): one explode, then two partial-aggregated
+    shuffles — lines groupBy(line) for winners, winners groupBy(doc) for
+    kept counts — and a final doc-keyed join of two doc-sized aggregates.
+    The full exploded line set is never joined back to itself and nothing
+    is windowed, so skew is bounded by the hottest single line (a hash
+    groupBy with map-side combine, AQE-splittable).
+
+    Reference analog: the tile-level cross-tile dedup discipline
+    (Serialization/TiledBarrierGraphSerializer.cs:14-85 keeps one copy of
+    a shared edge by deterministic owner); here the "owner" of a duplicate
+    line is its first-occurrence document.
+    """
+    toks = docs.select(F.col(id_col).cast("long").alias(id_col),
+                       X.tokens(F.col(text_col)).alias("t"))
+    chunks = toks.select(
+        id_col, "t",
+        F.posexplode(F.sequence(
+            F.lit(0),
+            F.greatest(F.floor((F.size("t") - 1) / chunk).cast("long"),
+                       F.lit(0)))).alias("pos", "i"))
+    lines = chunks.select(
+        id_col, F.col("i"),
+        F.concat_ws(" ", F.slice(
+            F.col("t"), (F.col("i") * chunk + 1).cast("int"), chunk))
+        .alias("line"))
+    keyed = lines.select(
+        id_col, "line",
+        (F.col(id_col) * F.lit(LINE_POS_BASE) + F.col("i")).alias("k"))
+    winners = keyed.groupBy("line").agg(F.min("k").alias("wk"))
+    kept = (winners
+            .select(F.expr(f"wk DIV {LINE_POS_BASE}").cast("long")
+                    .alias(id_col))
+            .groupBy(id_col).agg(F.count("*").cast("long").alias("n_kept")))
+    totals = keyed.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_lines"))
+    return (totals.join(kept, id_col, "left")
+            .select(id_col, "n_lines",
+                    F.coalesce(F.col("n_kept"), F.lit(0)).cast("long")
+                    .alias("n_kept"))
+            .withColumn("n_dropped",
+                        (F.col("n_lines") - F.col("n_kept")).cast("long")))
