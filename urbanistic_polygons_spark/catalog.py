@@ -1131,6 +1131,72 @@ FROM fp GROUP BY fp HAVING COUNT(*) > 1
 """
 
 
+def q_exact_quantiles_spark(spark, sf_dir):
+    """Exact nearest-rank quantiles of documents.n_chars WITHOUT a global
+    sort: two-pass bucket-histogram selection (operators/quantiles.py) —
+    one partial-agg shuffle for the histogram (collected once,
+    scalar-size), then a broadcast of the (bucket, residual-rank) targets
+    and a per-bucket window bounded by one bucket's rows.  The oracle is
+    the straightforward global ROW_NUMBER selection with the identical
+    integer ceil(q*N/10000) rank."""
+    from .operators.quantiles import exact_quantiles
+    register_views(spark, sf_dir)
+    return exact_quantiles(spark.table("documents"), "n_chars",
+                           [2500, 5000, 9000, 9900], bucket_width=16)
+
+
+_EXACT_QUANTILES_SQL = """
+WITH v AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+t(q_pm) AS (VALUES (2500), (5000), (9000), (9900)),
+k AS (
+  SELECT CAST(q_pm AS BIGINT) AS q_permyriad,
+         LEAST(GREATEST(1, (CAST(q_pm AS BIGINT) * n + 9999) // 10000), n)
+           AS k
+  FROM t, nn
+),
+s AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rk FROM v)
+SELECT k.q_permyriad, CAST(k.k AS BIGINT) AS global_rank, s.v AS value
+FROM k JOIN s ON s.rk = k.k
+"""
+
+
+def q_zorder_layout_spark(spark, sf_dir):
+    """Z-order layout audit (operators/layout.py): Morton-interleave the
+    micro-space point coordinates (static unrolled shift/mask Column —
+    whole-stage codegen, no UDF) and summarize each curve range bucket:
+    row count, DISTINCT z14 cells touched (the locality evidence: a
+    bucket is a compact spatial extent, so bbox/cell scans prune to few
+    buckets), min/max key (the per-file pruning statistics
+    write_zordered lays down).  The oracle evaluates the IDENTICAL
+    interleave generated from the same bit loop as integer arithmetic."""
+    from .operators.layout import zorder_key
+    pts = _pts_df(spark, sf_dir)
+    return (pts.withColumn("zkey", zorder_key("px", "py"))
+            .withColumn("bucket", F.expr(f"zkey DIV {1 << 34}"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n_points"),
+                 F.count_distinct("cell_id").alias("n_cells"),
+                 F.min("zkey").alias("min_key"),
+                 F.max("zkey").alias("max_key")))
+
+
+def _zorder_layout_sql() -> str:
+    from .operators.layout import zorder_key_sql
+    pts = PTS.replace("{D}", "//")
+    return f"""
+WITH {pts}, keyed AS (
+  SELECT *, CAST({zorder_key_sql('px', 'py')} AS BIGINT) AS zkey
+  FROM pts_cell
+)
+SELECT zkey // {1 << 34} AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(COUNT(DISTINCT cell_id) AS BIGINT) AS n_cells,
+       MIN(zkey) AS min_key, MAX(zkey) AS max_key
+FROM keyed GROUP BY 1
+"""
+
+
 def q_line_dedup_spark(spark, sf_dir):
     """Corpus-wide line-level dedup stats (C4 §2.2 / RefinedWeb): docs cut
     into 8-token lines, each distinct line kept only at its first
@@ -1905,7 +1971,7 @@ def q_merge_faces_spark(spark, sf_dir):
 # cid = gx*8 + gy is lexicographic in (gx, gy) and min_lon/min_lat are
 # monotone in gx/gy, so MIN(cid) is exactly Spark's MIN(struct(min_lon,
 # min_lat)) member.
-_MERGE_FACES_SQL = """
+_MERGE_CTES = """
 WITH RECURSIVE rects AS (
   SELECT * FROM (VALUES
     ('residential', 5, 9, 11, 15),
@@ -1950,7 +2016,9 @@ WITH RECURSIVE rects AS (
   GROUP BY c.cid
 ), agg AS (
   SELECT region, COUNT(*) AS n FROM comp GROUP BY region
-)
+)"""
+
+_MERGE_FACES_SQL = _MERGE_CTES + """
 SELECT CAST(4.70 AS DOUBLE) + c.gx * CAST(0.01 AS DOUBLE) AS min_lon,
        CAST(51.20 AS DOUBLE) + c.gy * CAST(0.01 AS DOUBLE) AS min_lat,
        CAST(4.70 AS DOUBLE) + (c.gx + 1) * CAST(0.01 AS DOUBLE) AS max_lon,
@@ -2100,6 +2168,112 @@ _H31 = "CAST(('0x' || substr(md5({x}), 1, 8)) AS BIGINT) % 2147483647"
 # operators/packing.py, expressed as a per-shard recursive CTE (state =
 # (bin_id, fill) carried row-to-row in doc_id order within each shard)
 _PACK_BUDGET = 256
+
+_TFIDF_TERMS = ["spark", "vector", "merge"]
+
+
+def q_tfidf_topk_spark(spark, sf_dir):
+    """Integer TF-IDF top-k retrieval (operators/retrieval.py): exact
+    integer idf weights ((N*SCALE) DIV df — no float sums, repo rule),
+    query-term filter BEFORE any shuffle, broadcast weight table, and
+    orderBy().limit() top-k (TakeOrderedAndProject: per-partition heaps +
+    a k-row driver merge, never a global sort)."""
+    from .operators.retrieval import tfidf_topk
+    register_views(spark, sf_dir)
+    return tfidf_topk(spark.table("documents"), _TFIDF_TERMS, k=20)
+
+
+_TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS t FROM documents
+), q(t) AS (
+  SELECT * FROM (VALUES ('spark'), ('vector'), ('merge'))
+), qt AS (
+  SELECT toks.doc_id, toks.t FROM toks JOIN q ON toks.t = q.t
+), tf AS (
+  SELECT doc_id, t, COUNT(*) AS tf FROM qt GROUP BY doc_id, t
+), dfq AS (
+  SELECT t, COUNT(DISTINCT doc_id) AS df FROM qt GROUP BY t
+), nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+), w AS (
+  SELECT t, (n * 1000000) // df AS w FROM dfq, nn
+), s AS (
+  SELECT doc_id, CAST(SUM(tf * w) AS BIGINT) AS score
+  FROM tf JOIN w USING (t) GROUP BY doc_id
+)
+SELECT doc_id, score FROM s ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
+def q_region_dissolve_spark(spark, sf_dir):
+    """Region dissolve (operators/dissolve.py): merged regions -> outline
+    polygon summary via boundary-segment PARITY — within a region, a
+    planar segment carried by two member faces is interior (dissolved
+    away), a segment carried by one is region outline.  One
+    groupBy(region, seg_key) + count computes the exact outline set with
+    no face-pair interaction (linear in total boundary length at any
+    scale).  Completes the reference's README step-3 deliverable (merged
+    polygons as single shapes) that its code never reaches
+    (DefaultMergeFactorCalculator.cs:14-32 is weights only).  The ring
+    re-assembly walk over the outline set (dissolve_rings, incl. donut
+    holes) is pytest-verified — ring strings are float-formatted tokens,
+    not SQL arithmetic."""
+    from .operators.dissolve import dissolve_stats
+    from .operators.merge import merge_faces
+
+    faces, seg_res, dom = _merge_fixture(spark)
+    merged = merge_faces(faces, seg_res, threshold=3, dominant=dom)
+    reg = merged.groupBy("region").agg(
+        F.min(F.struct("min_lon", "min_lat")).alias("m"))
+    return (dissolve_stats(merged).join(reg, "region")
+            .select(F.col("m.min_lon").alias("region_min_lon"),
+                    F.col("m.min_lat").alias("region_min_lat"),
+                    F.col("n_faces").cast("long").alias("n_faces"),
+                    F.col("n_boundary_segs").cast("long")
+                    .alias("n_boundary_segs"),
+                    F.col("n_internal_segs").cast("long")
+                    .alias("n_internal_segs")))
+
+
+# Dissolve oracle: the merge closure's regions (shared _MERGE_CTES chain),
+# then each unit cell contributes its 4 unit segments under the integer
+# identity (orientation, sx, sy) — bottom/top horizontals at gy/gy+1,
+# left/right verticals at gx/gx+1 — and parity within the region
+# classifies outline (1) vs interior (2).  Counting on integer segment
+# ids, never re-formatted floats, keeps the oracle exact.
+_REGION_DISSOLVE_SQL = _MERGE_CTES + """, segs AS (
+  SELECT p.region, 'h' AS o, c.gx AS sx, c.gy AS sy
+  FROM comp p JOIN cdom c ON c.cid = p.cid
+  UNION ALL
+  SELECT p.region, 'h', c.gx, c.gy + 1
+  FROM comp p JOIN cdom c ON c.cid = p.cid
+  UNION ALL
+  SELECT p.region, 'v', c.gx, c.gy
+  FROM comp p JOIN cdom c ON c.cid = p.cid
+  UNION ALL
+  SELECT p.region, 'v', c.gx + 1, c.gy
+  FROM comp p JOIN cdom c ON c.cid = p.cid
+), par AS (
+  SELECT region, o, sx, sy, COUNT(*) AS nseg
+  FROM segs GROUP BY region, o, sx, sy
+), st AS (
+  SELECT region,
+         CAST(SUM(CASE WHEN nseg = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_boundary_segs,
+         CAST(SUM(CASE WHEN nseg = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_internal_segs
+  FROM par GROUP BY region
+)
+SELECT CAST(4.70 AS DOUBLE) + (u.region // 8) * CAST(0.01 AS DOUBLE)
+         AS region_min_lon,
+       CAST(51.20 AS DOUBLE) + (u.region % 8) * CAST(0.01 AS DOUBLE)
+         AS region_min_lat,
+       CAST(u.n AS BIGINT) AS n_faces,
+       st.n_boundary_segs, st.n_internal_segs
+FROM agg u JOIN st ON st.region = u.region
+"""
+
 
 _PACK_SQL = f"""
 WITH RECURSIVE toks AS (
@@ -2752,5 +2926,20 @@ GROUP BY l_returnflag, l_linestatus""")
     # join whose join-strategy evidence is a subset of the reported
     # q3_shipping + range_join + asof_join surface
     df_q("q5_region", q5_region_spark, _Q5_SQL)
+    # NEW r4b, registered past the driver cap from birth (no redundant
+    # green left to demote without weakening the report): exact
+    # distributed quantiles via two-pass bucket-histogram selection —
+    # pytest-oracle-gated uncapped like every entry
+    df_q("exact_quantiles", q_exact_quantiles_spark, _EXACT_QUANTILES_SQL)
+    # NEW r4c, past the cap like exact_quantiles: region dissolve
+    # (merge -> outline polygons via segment parity, closed-form lattice
+    # oracle); the ring walk incl. donut holes is in tests/test_dissolve.py
+    df_q("region_dissolve", q_region_dissolve_spark, _REGION_DISSOLVE_SQL)
+    # NEW r4c: z-order layout audit (Morton key + per-range-bucket
+    # locality stats; write path pytest-verified in test_layout.py)
+    df_q("zorder_layout", q_zorder_layout_spark, _zorder_layout_sql())
+    # NEW r4c: integer TF-IDF top-k retrieval (decontamination / topic
+    # probe surface; TakeOrderedAndProject top-k)
+    df_q("tfidf_topk", q_tfidf_topk_spark, _TFIDF_SQL)
 
     return cat
