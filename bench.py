@@ -22,7 +22,8 @@ if str(_REPO) not in sys.path:
 HEADLINE = [
     # geospatial core (micro space, 150k points at sf0.1)
     "cell_index", "pip_assign", "knn_snap", "density_raster",
-    "raster_vectorize", "tile_assign", "cell_halo",
+    "raster_vectorize", "tile_assign", "cell_halo", "convex_hull",
+    "zorder_layout",
     # relational (incl. broadcast-dim joins and as-of)
     "q1_pricing", "topk_per_group", "sessionize",
     "q3_shipping", "q5_region", "asof_join", "range_join",
@@ -31,7 +32,8 @@ HEADLINE = [
     "embedding_topk", "embedding_ivf", "embedding_near_dup",
     "fingerprint", "exact_dedup_docs", "pack_sequences",
     "repetition_ratio", "training_order", "token_budget_mix",
-    "line_dedup", "pii_redact",
+    "line_dedup", "pii_redact", "tfidf_topk", "exact_quantiles",
+    "ngram_decontam", "weighted_sample", "grouped_quantiles",
     # multimodal binary columns
     "media_meta", "media_features",
     # interleaved spans synthesis

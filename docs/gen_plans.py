@@ -15,7 +15,10 @@ AUDIT = ["pip_assign", "knn_snap", "tile_assign", "q3_shipping", "q5_region",
          "cross_source_overlap", "embedding_topk", "tile_serve_pyramid",
          "faces_landuse", "merge_faces", "landuse_serve",
          "range_join", "pack_sequences", "repetition_ratio",
-         "training_order", "token_budget_mix", "line_dedup", "pii_redact"]
+         "training_order", "token_budget_mix", "line_dedup", "pii_redact",
+         "tfidf_topk", "exact_quantiles", "zorder_layout", "region_dissolve",
+         "ngram_decontam", "convex_hull", "weighted_sample",
+         "grouped_quantiles"]
 out = ["""# Physical plan audit
 
 Generated from `.explain`/`executedPlan` at sf0.01 (regenerate with

@@ -44,3 +44,34 @@ def test_empty_input_keeps_schema(spark):
     out = exact_quantiles(df, "x", [5000])
     assert out.columns == ["q_permyriad", "global_rank", "value"]
     assert out.count() == 0
+
+
+def test_grouped_matches_per_group_oracle(spark):
+    from urbanistic_polygons_spark.operators.quantiles import (
+        grouped_quantiles)
+    rng = np.random.default_rng(5)
+    rows = []
+    sizes = {"a": 1, "b": 7, "c": 400}
+    for g, n in sizes.items():
+        for v in rng.integers(0, 300, n):
+            rows.append((g, int(v)))
+    df = spark.createDataFrame(rows, "g string, x long")
+    qs = [2500, 5000, 9000, 10000]
+    for width in (1, 16, 512):
+        got = {(r["g"], r["q_permyriad"]): (r["global_rank"], r["value"])
+               for r in grouped_quantiles(df, "g", "x", qs,
+                                          bucket_width=width).collect()}
+        want = {}
+        for g in sizes:
+            vals = [v for gg, v in rows if gg == g]
+            for q, (k, val) in _oracle(vals, qs).items():
+                want[(g, q)] = (k, val)
+        assert got == want, width
+
+
+def test_grouped_empty_qs_raises(spark):
+    from urbanistic_polygons_spark.operators.quantiles import (
+        grouped_quantiles)
+    df = spark.createDataFrame([("a", 1)], "g string, x long")
+    with pytest.raises(ValueError):
+        grouped_quantiles(df, "g", "x", [])

@@ -2597,6 +2597,155 @@ UNION ALL SELECT * FROM geo_spans
 """
 
 
+def q_decontam_spark(spark, sf_dir):
+    """Eval-set n-gram decontamination (operators/decontam.py): the eval
+    suite (every 97th doc, truncated to its first 60% — eval items appear
+    verbatim INSIDE training docs) is shingled and broadcast; the corpus's
+    exploded shingles inner-join it map-side, so the only shuffle is the
+    per-doc hit aggregation.  Output: contaminated doc -> distinct
+    n-grams hit + distinct eval docs implicated (the triage signal)."""
+    from .operators.decontam import ngram_decontaminate
+    register_views(spark, sf_dir)
+    d = spark.table("documents")
+    ev = d.filter(F.col("doc_id") % 97 == 0).select(
+        "doc_id",
+        F.substring(F.col("text"), 1,
+                    F.expr("(6 * length(text)) DIV 10").cast("int"))
+        .alias("text"))
+    return ngram_decontaminate(d.select("doc_id", "text"), ev)
+
+
+_DECONTAM_SQL = f"""
+WITH ev AS (
+  SELECT doc_id AS eval_id,
+         substr(text, 1, CAST((6 * length(text)) // 10 AS INT)) AS text
+  FROM documents WHERE doc_id % 97 = 0
+), evt AS (
+  SELECT eval_id, {_TOKS} AS t FROM ev
+), evb AS (
+  SELECT eval_id, {_SHINGLES} AS sh FROM evt
+), evs AS (
+  SELECT DISTINCT eval_id, unnest(sh) AS s FROM evb
+), ct AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), cb AS (
+  SELECT doc_id, {_SHINGLES} AS sh FROM ct
+), cs AS (
+  SELECT DISTINCT doc_id, unnest(sh) AS s FROM cb
+)
+SELECT c.doc_id,
+       CAST(COUNT(DISTINCT c.s) AS BIGINT) AS n_hit_ngrams,
+       CAST(COUNT(DISTINCT e.eval_id) AS BIGINT) AS n_eval_docs
+FROM cs c JOIN evs e ON c.s = e.s
+GROUP BY c.doc_id
+"""
+
+
+def q_grouped_quantiles_spark(spark, sf_dir):
+    """Per-group exact quantiles (operators/quantiles.py
+    grouped_quantiles): the fully-distributed form — running bucket
+    counts via a window over each group's BUCKETS (never its values),
+    target ranks derived in-frame, nothing collected — so it scales to
+    arbitrarily many groups.  Here: per-language n_chars quartile/median/
+    p90 over documents; oracle = per-group ROW_NUMBER selection at the
+    identical integer ceil rank."""
+    from .operators.quantiles import grouped_quantiles
+    register_views(spark, sf_dir)
+    return grouped_quantiles(
+        spark.table("documents").select(F.col("lang"),
+                                        F.col("n_chars")),
+        "lang", "n_chars", [2500, 5000, 9000], bucket_width=16)
+
+
+_GROUPED_QUANTILES_SQL = """
+WITH v AS (
+  SELECT lang AS g, CAST(n_chars AS BIGINT) AS v FROM documents
+), nn AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY g
+), t(q_pm) AS (VALUES (2500), (5000), (9000)),
+k AS (
+  SELECT g, CAST(q_pm AS BIGINT) AS q_permyriad,
+         LEAST(GREATEST(1, (CAST(q_pm AS BIGINT) * n + 9999) // 10000), n)
+           AS k
+  FROM t, nn
+),
+s AS (SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rk
+      FROM v)
+SELECT k.g AS lang, k.q_permyriad, CAST(k.k AS BIGINT) AS global_rank,
+       s.v AS value
+FROM k JOIN s ON s.g = k.g AND s.rk = k.k
+"""
+
+
+def q_weighted_sample_spark(spark, sf_dir):
+    """Deterministic weighted priority sampling (operators/sampling.py,
+    Duffield-Lund-Thorup): priority = (hash31(key)*2^20) DIV max(w,1),
+    keep the k smallest — exact-k weighted-without-replacement, RNG-free
+    (pure function of the data), one scan + TakeOrderedAndProject (per-
+    partition k-heaps, k-row driver merge, no global sort)."""
+    from .operators.sampling import weighted_sample
+    register_views(spark, sf_dir)
+    return weighted_sample(spark.table("documents"), "doc_id", "n_chars",
+                           k=64)
+
+
+_WEIGHTED_SAMPLE_SQL = f"""
+WITH s AS (
+  SELECT doc_id AS key, CAST(n_chars AS BIGINT) AS weight,
+         ({_H31.format(x="CAST(doc_id AS VARCHAR)")} * {1 << 20})
+           // GREATEST(CAST(n_chars AS BIGINT), 1) AS priority
+  FROM documents
+)
+SELECT key, weight, CAST(priority AS BIGINT) AS priority
+FROM s ORDER BY priority, key LIMIT 64
+"""
+
+
+def q_convex_hull_spark(spark, sf_dir):
+    """Distributed per-group convex hull (operators/hull.py): map-side
+    partial hulls per physical partition (mapInPandas, zero shuffle),
+    then one final chain per group over partial-hull VERTICES only —
+    the hull reduction identity hull(A ∪ B) = hull(hull(A) ∪ hull(B))
+    makes the single shuffle carry O(partitions · log n) rows per group.
+    Output: the exact strict extreme-point set of each 3x3 coarse-block
+    group of every 47th micro-space point; the oracle re-derives the same
+    set by the convex-combination exclusion test (a point is NOT extreme
+    iff it lies strictly inside a triangle, or strictly interior to a
+    segment, of its group's other points — Caratheodory in 2D), all
+    integer arithmetic.  Ring ORDER (CCW walk, shoelace > 0) is
+    pytest-pinned in tests/test_hull.py."""
+    from .operators.hull import convex_hull
+    pts = _pts_df(spark, sf_dir).filter(F.col("point_id") % 47 == 0)
+    df = pts.withColumn(
+        "g", F.expr("px DIV 630000") * 3 + F.expr("py DIV 630000"))
+    return (convex_hull(df, "g")
+            .select("g", F.col("px").cast("long").alias("px"),
+                    F.col("py").cast("long").alias("py")))
+
+
+_CONVEX_HULL_SQL = f"""
+WITH {PTS.replace('{D}', '//')}, P AS (
+  SELECT DISTINCT (px // 630000) * 3 + (py // 630000) AS g, px, py
+  FROM pts_cell WHERE point_id % 47 = 0
+)
+SELECT p.g, p.px, p.py FROM P p
+WHERE NOT EXISTS (
+  SELECT 1 FROM P a, P b
+  WHERE a.g = p.g AND b.g = p.g
+    AND (b.px - a.px) * (p.py - a.py) - (b.py - a.py) * (p.px - a.px) = 0
+    AND (p.px - a.px) * (b.px - a.px) + (p.py - a.py) * (b.py - a.py) > 0
+    AND (p.px - b.px) * (a.px - b.px) + (p.py - b.py) * (a.py - b.py) > 0
+)
+AND NOT EXISTS (
+  SELECT 1 FROM P a, P b, P c
+  WHERE a.g = p.g AND b.g = p.g AND c.g = p.g
+    AND (b.px - a.px) * (p.py - a.py) - (b.py - a.py) * (p.px - a.px) > 0
+    AND (c.px - b.px) * (p.py - b.py) - (c.py - b.py) * (p.px - b.px) > 0
+    AND (a.px - c.px) * (p.py - c.py) - (a.py - c.py) * (p.px - c.px) > 0
+)
+"""
+
+
 # ---------------------------------------------------------------------------
 # The catalog
 # ---------------------------------------------------------------------------
@@ -2941,5 +3090,18 @@ GROUP BY l_returnflag, l_linestatus""")
     # NEW r4c: integer TF-IDF top-k retrieval (decontamination / topic
     # probe surface; TakeOrderedAndProject top-k)
     df_q("tfidf_topk", q_tfidf_topk_spark, _TFIDF_SQL)
+    # NEW r4d: eval-set n-gram decontamination (broadcast eval shingles,
+    # map-side corpus filter, one per-doc agg shuffle)
+    df_q("ngram_decontam", q_decontam_spark, _DECONTAM_SQL)
+    # NEW r4d: distributed per-group convex hull (map-side partial hulls
+    # via the hull reduction identity; oracle = Caratheodory exclusion)
+    df_q("convex_hull", q_convex_hull_spark, _CONVEX_HULL_SQL)
+    # NEW r4d: deterministic weighted priority sampling (integer
+    # hash-priority, TakeOrderedAndProject)
+    df_q("weighted_sample", q_weighted_sample_spark, _WEIGHTED_SAMPLE_SQL)
+    # NEW r4d: per-group exact quantiles, fully in-frame (no collect) —
+    # the many-groups form of exact_quantiles
+    df_q("grouped_quantiles", q_grouped_quantiles_spark,
+         _GROUPED_QUANTILES_SQL)
 
     return cat

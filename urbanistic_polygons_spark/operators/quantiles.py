@@ -34,6 +34,60 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def grouped_quantiles(df: DataFrame, group_col: str, value_col: str,
+                      qs_permyriad: list[int],
+                      bucket_width: int = 16) -> DataFrame:
+    """Exact nearest-rank quantiles PER GROUP — the fully-distributed
+    variant of :func:`exact_quantiles`: nothing is ever collected, so it
+    works for 10^9 groups where the driver-walk form can't.
+
+    Same two-pass selection, but the histogram walk happens IN-FRAME:
+
+    1. per-(group, bucket) histogram (one partial-agg shuffle);
+    2. running counts via a window over each group's BUCKETS (a few
+       hundred rows per group, never its values), giving each bucket its
+       global-rank interval [lo, hi); each requested quantile's target
+       rank k = ceil(q*N_g/10000) lands in exactly one bucket via an
+       equi-join on group + an interval filter;
+    3. join the (group, bucket, residual rank) targets back (broadcast —
+       |groups|·|qs| rows) and take the residual-rank-th smallest inside
+       each target bucket with a bucket-bounded window.
+
+    Output: (group, q_permyriad, global_rank, value), one row per group
+    per requested quantile."""
+    if not qs_permyriad:
+        # zero-arg F.array() is an ARRAY<VOID> literal that fails analysis
+        # on explode (repo rule) — refuse early instead
+        raise ValueError("qs_permyriad must be non-empty")
+    g = F.col(group_col).alias("g")
+    vals = df.select(g, F.col(value_col).cast("long").alias("v"),
+                     F.expr(f"CAST({value_col} AS BIGINT)"
+                            f" DIV {int(bucket_width)}").alias("b"))
+    hist = vals.groupBy("g", "b").agg(F.count("*").alias("c"))
+    wb = Window.partitionBy("g").orderBy("b")
+    cum = (hist.withColumn("hi", F.sum("c").over(wb))
+           .withColumn("lo", F.col("hi") - F.col("c")))
+    totals = hist.groupBy("g").agg(F.sum("c").cast("long").alias("n"))
+    qarr = F.array(*[F.lit(int(q)).cast("long") for q in qs_permyriad])
+    targets = (totals.select(
+        "g", "n", F.explode_outer(qarr).alias("q_permyriad"))
+        .withColumn("k", F.least(F.greatest(
+            F.lit(1),
+            F.expr("(q_permyriad * n + 9999) DIV 10000")), F.col("n"))))
+    # each k lands in exactly one bucket: lo < k <= hi
+    tb = (targets.join(cum, "g")
+          .filter((F.col("k") > F.col("lo")) & (F.col("k") <= F.col("hi")))
+          .select("g", "b", "q_permyriad",
+                  (F.col("k") - F.col("lo")).alias("k_in_bucket"),
+                  F.col("k").alias("global_rank")))
+    joined = vals.join(F.broadcast(tb), ["g", "b"])
+    w = Window.partitionBy("g", "b", "q_permyriad").orderBy("v")
+    return (joined.withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") == F.col("k_in_bucket"))
+            .select(F.col("g").alias(group_col), "q_permyriad",
+                    "global_rank", F.col("v").alias("value")))
+
+
 def exact_quantiles(df: DataFrame, value_col: str,
                     qs_permyriad: list[int],
                     bucket_width: int = 16) -> DataFrame:
