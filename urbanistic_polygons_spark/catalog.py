@@ -2746,6 +2746,66 @@ AND NOT EXISTS (
 """
 
 
+def q_heavy_hitters_spark(spark, sf_dir):
+    """Corpus-wide heavy hitters (operators/sketches.py): per-partition
+    Misra-Gries summaries (mapInPandas, zero shuffle), merged once
+    (partitions x k scalar-size rows), then ONE exact counting pass over
+    just the <= k candidates — the distinct-token set is never shuffled.
+    Output: exact counts of every token with frequency > n/(k+1); a pure
+    function of the input multiset (partitioning-invariance pytest-pinned
+    in tests/test_sketches.py)."""
+    from .functions import text as X
+    from .operators.sketches import heavy_hitters
+    register_views(spark, sf_dir)
+    toks = (spark.table("documents")
+            .select(X.tokens(F.col("text")).alias("t"))
+            .select(F.explode_outer("t").alias("token"))
+            .filter(F.col("token").isNotNull()))
+    return heavy_hitters(toks, "token", k=32)
+
+
+_HEAVY_HITTERS_SQL = f"""
+WITH toks AS (
+  SELECT {_TOKS} AS t FROM documents
+), tok AS (
+  SELECT unnest(t) AS token FROM toks
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS c FROM tok
+)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM tok GROUP BY token
+HAVING CAST(COUNT(*) AS BIGINT) * 33 > (SELECT c FROM n)
+"""
+
+
+def q_span_seq_fp_spark(spark, sf_dir):
+    """Per-doc span-SEQUENCE fingerprint: the input_hint's per-row
+    invariant (span kind/content/media_ref equality IN ORDER per doc_id)
+    expressed as one order-sensitive md5 per document — sort_array over
+    the collected (offset, kind, content, media_ref) structs gives the
+    offset order (offsets are unique per doc by construction), and the
+    hash commits to the full ordered sequence.  One shuffle (the per-doc
+    collect); array sizes are per-doc span counts, bounded."""
+    spans = q_spans_spark(spark, sf_dir)
+    arr = F.sort_array(F.collect_list(
+        F.struct("span_offset", "kind", "content", "media_ref")))
+    return (spans.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_spans"),
+                 F.md5(F.concat_ws("|", F.transform(
+                     arr, lambda s: F.concat_ws(
+                         ":", s.kind, s.content, s.media_ref))))
+                 .alias("seq_fp")))
+
+
+_SPAN_SEQ_FP_SQL = f"""
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+       md5(string_agg(kind || ':' || content || ':' || media_ref,
+                      '|' ORDER BY span_offset)) AS seq_fp
+FROM ({_SPANS_SQL}) spans
+GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # The catalog
 # ---------------------------------------------------------------------------
@@ -3103,5 +3163,12 @@ GROUP BY l_returnflag, l_linestatus""")
     # the many-groups form of exact_quantiles
     df_q("grouped_quantiles", q_grouped_quantiles_spark,
          _GROUPED_QUANTILES_SQL)
+    # NEW r4e: heavy hitters via mergeable Misra-Gries sketch + exact
+    # verify pass (output deterministic: exact counts above n/(k+1))
+    df_q("heavy_hitters", q_heavy_hitters_spark, _HEAVY_HITTERS_SQL)
+    # NEW r4e: per-doc span-sequence fingerprint — the north-rule per-row
+    # invariant (kind, content, media_ref, ORDER per doc_id) as one
+    # order-sensitive hash the driver compares directly
+    df_q("span_seq_fp", q_span_seq_fp_spark, _SPAN_SEQ_FP_SQL)
 
     return cat
