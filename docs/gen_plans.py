@@ -80,6 +80,24 @@ as a prefix sum: per-(stratum, bucket) running-sum window plus a
 BroadcastHashJoin against the pruned offsets table (off < budget) — the
 prune must sit on the offsets side, before the big join.
 
+r4c-r4e additions: `tfidf_topk` filters the corpus to query terms BEFORE
+any shuffle, broadcasts the integer-idf weight table, and ends in
+TakeOrderedAndProject (per-partition heaps, k-row merge).
+`exact_quantiles` / `grouped_quantiles` are bucket-histogram selection:
+aggs over (group, bucket) histograms — the window in the grouped form
+runs over each group's BUCKETS (hundreds of rows), never its values, and
+the target ranks join back broadcast; a global values sort anywhere is
+the regression to watch for.  `ngram_decontam` must show the eval
+shingle set on the BUILD side of a BroadcastHashJoin with the corpus
+stream filtered map-side — the only exchange is the per-doc hit agg.
+`convex_hull` is mapInPandas partial hulls into ONE groupBy-applyInPandas
+(single exchange carrying hull vertices only).  `weighted_sample` is a
+projection into TakeOrderedAndProject — zero exchanges.  `heavy_hitters`'
+audited plan is the verify pass: an isin(candidates) filter into a
+partial+final agg (1 exchange); the sketch pass is a separate scalar-size
+action by design.  `span_seq_fp` is one per-doc collect_list agg
+(1 exchange) with the order supplied by sort_array, not a window.
+
 `dedup_components` is iterative (min-label propagation) and is audited by
 construction, not by its final plan snapshot: each round is one message
 join + one min-aggregation with the lineage cut by an eager

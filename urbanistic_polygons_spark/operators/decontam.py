@@ -43,8 +43,11 @@ def ngram_decontaminate(corpus: DataFrame, evalset: DataFrame,
                         text_col: str = "text") -> DataFrame:
     """-> (doc_id, n_hit_ngrams, n_eval_docs) for every corpus doc
     sharing >= 1 token 3-gram shingle with any eval doc."""
-    corp = _exploded_shingles(corpus, id_col, text_col).dropDuplicates(
-        [id_col, "sh"])
+    # NOTE: no corpus-side dropDuplicates — that would shuffle the FULL
+    # corpus shingle set before the broadcast filter.  The final
+    # count_distinct aggregation absorbs duplicate (doc, shingle) rows,
+    # so the only corpus-wide shuffle stays the per-doc hit agg.
+    corp = _exploded_shingles(corpus, id_col, text_col)
     ev = (_exploded_shingles(
             evalset.select(F.col(id_col).alias("eval_id"),
                            F.col(text_col)),

@@ -82,9 +82,10 @@ def heavy_hitters(df: DataFrame, token_col: str, k: int = 32) -> DataFrame:
     # partition summaries are scalar-size (partitions x k); merge once on
     # the driver and share the candidate list as a literal (repo rule:
     # collect scalar-size results ONCE)
+    summary_rows = partial.collect()  # scalar-size: partitions x (k+1)
     merged: dict = {}
     n = 0
-    for row in partial.collect():
+    for row in summary_rows:
         if row["token"] is None:
             n += row["c"]
         else:
