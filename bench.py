@@ -34,7 +34,7 @@ HEADLINE = [
     "repetition_ratio", "training_order", "token_budget_mix",
     "line_dedup", "pii_redact", "tfidf_topk", "exact_quantiles",
     "ngram_decontam", "weighted_sample", "grouped_quantiles",
-    "heavy_hitters",
+    "heavy_hitters", "skyline",
     # multimodal binary columns
     "media_meta", "media_features",
     # interleaved spans synthesis

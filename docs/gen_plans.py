@@ -18,7 +18,7 @@ AUDIT = ["pip_assign", "knn_snap", "tile_assign", "q3_shipping", "q5_region",
          "training_order", "token_budget_mix", "line_dedup", "pii_redact",
          "tfidf_topk", "exact_quantiles", "zorder_layout", "region_dissolve",
          "ngram_decontam", "convex_hull", "weighted_sample",
-         "grouped_quantiles", "heavy_hitters", "span_seq_fp"]
+         "grouped_quantiles", "heavy_hitters", "span_seq_fp", "skyline"]
 out = ["""# Physical plan audit
 
 Generated from `.explain`/`executedPlan` at sf0.01 (regenerate with

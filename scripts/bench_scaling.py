@@ -292,6 +292,13 @@ neighbor-VM bursts invisible to this VM's loadavg).  The gate is on the
 probe — a covariate measured outside the benchmark — never on the
 efficiency value. {("PASS" if quiet_eff >= 0.8 else "FAIL") if quiet_eff is not None else ""} (>= 0.8).
 
+Since r4e pairs are launched by `scripts/quiet_pairs.py`, which starts a
+pair only when two pre-launch probes read quiet: selection on WHEN to
+measure (standard benchmarking hygiene), never on which measured pairs to
+keep — every pair that runs, noisy or not, lands in the history above.
+Earlier pairs were launched blind, which is why the all-pairs sample
+carries a long busy-window tail (asymmetric-noise analysis below).
+
 Each level's headline row is the fastest measurement of that level across
 repeated runs of this identical job/input/config: ambient neighbor noise on
 the shared host only ever slows a level, and the levels run minutes apart so

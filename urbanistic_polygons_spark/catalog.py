@@ -1951,7 +1951,12 @@ def q_merge_faces_spark(spark, sf_dir):
     from .operators.merge import merge_faces
 
     faces, seg_res, dom = _merge_fixture(spark)
-    merged = merge_faces(faces, seg_res, threshold=3, dominant=dom)
+    # merged feeds multiple consumers (region agg + join-back / parity
+    # segs + n_faces + extremes); without a lineage cut each replays the
+    # whole merge pipeline (self-join rule) — in production merged
+    # regions are a materialized table, localCheckpoint is the analog
+    merged = merge_faces(faces, seg_res, threshold=3,
+                         dominant=dom).localCheckpoint(eager=True)
     reg = merged.groupBy("region").agg(
         F.min(F.struct("min_lon", "min_lat")).alias("m"),
         F.count("*").alias("n"))
@@ -2223,7 +2228,12 @@ def q_region_dissolve_spark(spark, sf_dir):
     from .operators.merge import merge_faces
 
     faces, seg_res, dom = _merge_fixture(spark)
-    merged = merge_faces(faces, seg_res, threshold=3, dominant=dom)
+    # merged feeds multiple consumers (region agg + join-back / parity
+    # segs + n_faces + extremes); without a lineage cut each replays the
+    # whole merge pipeline (self-join rule) — in production merged
+    # regions are a materialized table, localCheckpoint is the analog
+    merged = merge_faces(faces, seg_res, threshold=3,
+                         dominant=dom).localCheckpoint(eager=True)
     reg = merged.groupBy("region").agg(
         F.min(F.struct("min_lon", "min_lat")).alias("m"))
     return (dissolve_stats(merged).join(reg, "region")
@@ -2806,6 +2816,37 @@ GROUP BY doc_id
 """
 
 
+def q_skyline_spark(spark, sf_dir):
+    """Per-group 2D Pareto skyline (operators/skyline.py): the dominance
+    analog of convex_hull — map-side partial skylines per partition
+    (mapInPandas sort + running-min scan, zero shuffle), one final scan
+    per group over skyline CANDIDATES only (the reduction identity
+    skyline(A∪B) = skyline(skyline(A)∪skyline(B))).  Output: the exact
+    strict-dominance minimal set of each 3x3 coarse block of every 31st
+    micro-space point; oracle = the NOT EXISTS dominance test.
+    Partitioning invariance is pytest-pinned (tests/test_skyline.py)."""
+    from .operators.skyline import skyline_2d
+    pts = _pts_df(spark, sf_dir).filter(F.col("point_id") % 31 == 0)
+    df = pts.withColumn(
+        "g", F.expr("px DIV 630000") * 3 + F.expr("py DIV 630000"))
+    return (skyline_2d(df, "g", "px", "py")
+            .select("g", F.col("x").alias("px"), F.col("y").alias("py")))
+
+
+_SKYLINE_SQL = f"""
+WITH {PTS.replace('{D}', '//')}, P AS (
+  SELECT DISTINCT (px // 630000) * 3 + (py // 630000) AS g, px, py
+  FROM pts_cell WHERE point_id % 31 = 0
+)
+SELECT p.g, p.px, p.py FROM P p
+WHERE NOT EXISTS (
+  SELECT 1 FROM P q
+  WHERE q.g = p.g AND q.px <= p.px AND q.py <= p.py
+    AND (q.px < p.px OR q.py < p.py)
+)
+"""
+
+
 # ---------------------------------------------------------------------------
 # The catalog
 # ---------------------------------------------------------------------------
@@ -3170,5 +3211,8 @@ GROUP BY l_returnflag, l_linestatus""")
     # invariant (kind, content, media_ref, ORDER per doc_id) as one
     # order-sensitive hash the driver compares directly
     df_q("span_seq_fp", q_span_seq_fp_spark, _SPAN_SEQ_FP_SQL)
+    # NEW r4e: per-group 2D Pareto skyline (dominance-free set via the
+    # skyline reduction identity; oracle = NOT EXISTS dominance)
+    df_q("skyline", q_skyline_spark, _SKYLINE_SQL)
 
     return cat

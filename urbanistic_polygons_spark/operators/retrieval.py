@@ -41,8 +41,14 @@ def tfidf_topk(docs: DataFrame, terms: list[str], k: int = 20,
         F.explode_outer(F.filter(F.split(F.lower(text_col), " "),
                                  lambda t: F.length(t) > 0)).alias("t"))
     qt = toks.filter(F.col("t").isin(list(terms)))
-    tf = qt.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
-    dfreq = qt.groupBy("t").agg(F.count_distinct("doc_id").alias("df"))
+    # tf is |hits|-bounded (<= matching doc x term pairs) and feeds TWO
+    # consumers (df derivation + the scoring join); materialize it once
+    # so the corpus is tokenized and exploded exactly ONCE — a second
+    # consumer of qt/tf would replay the explode subtree (self-join rule)
+    tf = (qt.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
+          .localCheckpoint(eager=True))
+    # df(t) = number of docs carrying t = row count per t in tf
+    dfreq = tf.groupBy("t").agg(F.count("*").alias("df"))
     # N: one scalar action, collected once and baked in as a literal
     n = docs.count()
     w = dfreq.select(
