@@ -124,21 +124,39 @@ def main() -> None:
     docs_per_sec = round(n_points / pip_knn, 1) if pip_knn > 0 else None
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    print(json.dumps({
-        "metric": "headline suite wall time (cell index + spatial join + "
-                  "kNN + raster + relational + dedup + similarity)",
+    # The driver that records this run keeps only the LAST ~2000 chars of
+    # stdout and parses the JSON line out of that window — r2/r3 artifacts
+    # came back "parsed: null" because rows/runs/warmup detail pushed the
+    # line past the window.  The stdout line is therefore the compact
+    # headline only; full per-run detail goes to BENCH_DETAIL.json
+    # (temp-file + os.replace so a crash mid-write can't truncate it).
+    headline = {
+        "metric": "headline suite wall time (spatial + relational + "
+                  "dedup + similarity)",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
         "cpus": cpus,
         "docs_per_sec_spatial": docs_per_sec,
-        "rows": rows,
-        "runs": runs,
         "sweeps": sweeps,
-        "warmup_runs": warmup,
-        "cpu_probe_sec": [probe_before, _cpu_probe()],
-    }))
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(headline)
+    if len(line) > 1900:  # stay inside the capture window, whatever grows
+        headline["queries"] = {k: round(v, 2) for k, v in timings.items()}
+        line = json.dumps(headline)
+    detail_path = _REPO / "BENCH_DETAIL.json"
+    tmp = detail_path.with_suffix(".json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({**headline, "rows": rows, "runs": runs,
+                   "warmup_runs": warmup,
+                   "cpu_probe_sec": [probe_before, _cpu_probe()]}, f,
+                  indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, detail_path)
+    print(line)
     spark.stop()
 
 

@@ -2914,7 +2914,6 @@ SELECT point_id, cell_id, poly_id AS polygon_id, ring, d2
 FROM ranked WHERE rn = 1""", "duckdb"))
 
     df_q("salted_agg", q_salted_agg_spark, _SALTED_AGG_SQL)
-    df_q("overlap_area", q_overlap_area_spark, _OVERLAP_AREA_SQL)
 
     df_q("cell_halo", q_cell_halo_spark, _render(f"""
 WITH {PTS},
@@ -2931,33 +2930,6 @@ GROUP BY a.cell_id""", "duckdb"))
     # green r1-r3, a thin filtered-agg whose evidence is a subset of the
     # reported landuse_rollup / salted_agg aggregation surface)
     df_q("line_dedup", q_line_dedup_spark, _LINE_DEDUP_SQL)
-
-    sql_q("topk_per_group", """
-SELECT p_brand, p_partkey, price_cents, rk FROM (
-  SELECT p_brand, p_partkey,
-         CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents,
-         ROW_NUMBER() OVER (PARTITION BY p_brand
-                            ORDER BY p_retailprice DESC, p_partkey) AS rk
-  FROM part
-) WHERE rk <= 3""")
-
-    sql_q("sessionize", """
-WITH o AS (
-  SELECT user_id, event_id, ts,
-         CASE WHEN LAG(ts) OVER w IS NULL
-                   OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
-              THEN 1 ELSE 0 END AS new_s
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-), s AS (
-  SELECT user_id, event_id,
-         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS UNBOUNDED PRECEDING) AS session_id
-  FROM o
-)
-SELECT user_id, COUNT(DISTINCT session_id) AS n_sessions,
-       COUNT(*) AS n_events
-FROM s GROUP BY user_id""")
 
     # global ordered top-k (TakeOrderedAndProject / range-partitioned sort)
     df_q("landuse_rollup", q_landuse_rollup_spark, _render(f"""
@@ -3001,15 +2973,8 @@ GROUP BY GROUPING SETS ((cls, cell_y), (cls), ())""", "duckdb"))
     # with bucket pruning — tile_pyramid demoted to the tail to make
     # room (see the rotation comment below).
     df_q("token_budget_mix", q_token_mix_spark, _TOKEN_MIX_SQL)
-    df_q("stratified_sample", q_stratified_sample_spark, _STRATIFIED_SAMPLE_SQL)
-    df_q("cross_source_overlap", q_cross_source_overlap_spark,
-         _CROSS_SOURCE_SQL)
     df_q("text_stats", q_text_stats_spark, _TEXT_STATS_SQL)
-    df_q("lang_id", q_lang_id_spark, _lang_id_sql())
-    df_q("quality_score", q_quality_spark, _QUALITY_SQL)
-    df_q("fingerprint", q_fingerprint_spark, _FINGERPRINT_SQL)
     df_q("winnow_fp", q_winnow_fp_spark, _WINNOW_FP_SQL)
-    df_q("simhash", q_simhash_spark, _simhash_sql())
     df_q("minhash_lsh_pairs", q_minhash_lsh_spark, _minhash_lsh_sql(k=16, bands=8))
     df_q("dedup_components", q_dedup_components_spark, _dedup_components_sql())
     df_q("ngram_jaccard", q_ngram_jaccard_spark, _NGRAM_JACCARD_SQL)
@@ -3023,12 +2988,8 @@ GROUP BY GROUPING SETS ((cls, cell_y), (cls), ())""", "duckdb"))
     df_q("embedding_near_dup", q_embedding_near_dup_spark,
          _emb_near_dup_sql())
 
-    # -- interleaved spans synthesis (input_hint shape) ----------------------
-    df_q("spans_explode", q_spans_spark, _SPANS_SQL)
-
     # -- multimodal binary columns (Arrow byte-parsing kernels) --------------
     df_q("media_meta", q_media_meta_spark, _MEDIA_META_SQL)
-    df_q("media_features", q_media_features_spark, _MEDIA_FEATURES_SQL)
 
     # -- face / landuse / tile pipeline (rows-only: sequential half-edge
     #    walk inside applyInPandas is not SQL-expressible; exactness covered
@@ -3099,8 +3060,114 @@ SELECT gy, MIN(gx) AS x_start, MAX(gx) AS x_end,
 FROM m GROUP BY gy, grp""")
     df_q("geojson_features", q_geojson_spark, None)
 
+    # ------------------------------------------------------------------
+    # r4f rotation (same policy as above, applied to the operators born
+    # later in round 4): every catalog entry that has NEVER appeared in
+    # a driver correctness report is registered inside the first 50 this
+    # round, so each gets at least one driver-recorded row.  The eleven
+    # demoted to the tail to make room are all multi-round driver greens
+    # whose evidence is composed end-to-end by a still-reported sibling
+    # (per-entry rationale at each tail registration).  After this round
+    # every one of the 73 catalog entries has driver-recorded evidence.
+    # ------------------------------------------------------------------
+    # exact distributed quantiles via two-pass bucket-histogram selection
+    df_q("exact_quantiles", q_exact_quantiles_spark, _EXACT_QUANTILES_SQL)
+    # region dissolve (merge -> outline polygons via segment parity,
+    # closed-form lattice oracle); ring walk incl. donut holes is in
+    # tests/test_dissolve.py
+    df_q("region_dissolve", q_region_dissolve_spark, _REGION_DISSOLVE_SQL)
+    # z-order layout audit (Morton key + per-range-bucket locality
+    # stats; write path pytest-verified in test_layout.py)
+    df_q("zorder_layout", q_zorder_layout_spark, _zorder_layout_sql())
+    # integer TF-IDF top-k retrieval (TakeOrderedAndProject top-k)
+    df_q("tfidf_topk", q_tfidf_topk_spark, _TFIDF_SQL)
+    # eval-set n-gram decontamination (broadcast eval shingles, map-side
+    # corpus filter, one per-doc agg shuffle)
+    df_q("ngram_decontam", q_decontam_spark, _DECONTAM_SQL)
+    # distributed per-group convex hull (map-side partial hulls via the
+    # hull reduction identity; oracle = Caratheodory exclusion)
+    df_q("convex_hull", q_convex_hull_spark, _CONVEX_HULL_SQL)
+    # deterministic weighted priority sampling (integer hash-priority)
+    df_q("weighted_sample", q_weighted_sample_spark, _WEIGHTED_SAMPLE_SQL)
+    # per-group exact quantiles, fully in-frame (no collect)
+    df_q("grouped_quantiles", q_grouped_quantiles_spark,
+         _GROUPED_QUANTILES_SQL)
+    # heavy hitters via mergeable Misra-Gries sketch + exact verify pass
+    df_q("heavy_hitters", q_heavy_hitters_spark, _HEAVY_HITTERS_SQL)
+    # per-doc span-sequence fingerprint — the north-rule per-row
+    # invariant (kind, content, media_ref, ORDER per doc_id) as one
+    # order-sensitive hash the driver compares directly
+    df_q("span_seq_fp", q_span_seq_fp_spark, _SPAN_SEQ_FP_SQL)
+    # per-group 2D Pareto skyline (oracle = NOT EXISTS dominance)
+    df_q("skyline", q_skyline_spark, _SKYLINE_SQL)
+
     # -- driver-report tail: demoted redundant-evidence greens (see the
-    #    rotation comment above) -------------------------------------------
+    #    rotation comments above) ------------------------------------------
+    # r4f demotions — all driver-green in 2-3 prior rounds:
+    # overlap_area (green r1-r3): its integer clip arithmetic is composed
+    # end-to-end by the still-reported faces_landuse (float clip kernel,
+    # exact permyriad oracle) and landuse_agg
+    df_q("overlap_area", q_overlap_area_spark, _OVERLAP_AREA_SQL)
+    # topk_per_group (green r1-r3): rank-window evidence kept via the
+    # reported training_order (dense global rank), tfidf_topk and
+    # weighted_sample (both TakeOrderedAndProject)
+    sql_q("topk_per_group", """
+SELECT p_brand, p_partkey, price_cents, rk FROM (
+  SELECT p_brand, p_partkey,
+         CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents,
+         ROW_NUMBER() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey) AS rk
+  FROM part
+) WHERE rk <= 3""")
+    # sessionize (green r1-r3): lag-gap + running-sum window surface kept
+    # via the reported asof_join and training_order
+    sql_q("sessionize", """
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, event_id,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o
+)
+SELECT user_id, COUNT(DISTINCT session_id) AS n_sessions,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id""")
+    # stratified_sample (green r2-r3): superseded in evidence by the
+    # promoted weighted_sample (the same portable-hash determinism plus
+    # weight-proportional priorities)
+    df_q("stratified_sample", q_stratified_sample_spark,
+         _STRATIFIED_SAMPLE_SQL)
+    # cross_source_overlap (green r2-r3): superseded in evidence by the
+    # promoted ngram_decontam (shingle-level decontamination vs this
+    # whole-doc fingerprint overlap)
+    df_q("cross_source_overlap", q_cross_source_overlap_spark,
+         _CROSS_SOURCE_SQL)
+    # lang_id / quality_score (green r1-r3): thin JVM text-expression
+    # surface kept via the reported text_stats, repetition_ratio,
+    # pii_redact and line_dedup
+    df_q("lang_id", q_lang_id_spark, _lang_id_sql())
+    df_q("quality_score", q_quality_spark, _QUALITY_SQL)
+    # fingerprint (green r1-r3): the reported exact_dedup_docs composes
+    # the identical fingerprint pipeline; span_seq_fp adds the
+    # order-sensitive form
+    df_q("fingerprint", q_fingerprint_spark, _FINGERPRINT_SQL)
+    # simhash (green r1-r3): hash-agg bit-sum surface; the dedup family
+    # stays reported via minhash_lsh_pairs, dedup_components and
+    # ngram_jaccard
+    df_q("simhash", q_simhash_spark, _simhash_sql())
+    # spans_explode (green r1-r3): the promoted span_seq_fp composes the
+    # same spans synthesis into a strictly stronger order-sensitive
+    # per-doc hash
+    df_q("spans_explode", q_spans_spark, _SPANS_SQL)
+    # media_features (green r1-r3): same Arrow byte-parse CTE as the
+    # reported media_meta and media_resize
+    df_q("media_features", q_media_features_spark, _MEDIA_FEATURES_SQL)
     # demoted with the r4 range_join promotion: green r1-r3, same
     # PTS/RECTS/PIP_JOIN CTEs and groupBy-agg shape as the still-reported
     # pip_assign/landuse_agg/overlap_area family
@@ -3176,43 +3243,4 @@ GROUP BY l_returnflag, l_linestatus""")
     # join whose join-strategy evidence is a subset of the reported
     # q3_shipping + range_join + asof_join surface
     df_q("q5_region", q5_region_spark, _Q5_SQL)
-    # NEW r4b, registered past the driver cap from birth (no redundant
-    # green left to demote without weakening the report): exact
-    # distributed quantiles via two-pass bucket-histogram selection —
-    # pytest-oracle-gated uncapped like every entry
-    df_q("exact_quantiles", q_exact_quantiles_spark, _EXACT_QUANTILES_SQL)
-    # NEW r4c, past the cap like exact_quantiles: region dissolve
-    # (merge -> outline polygons via segment parity, closed-form lattice
-    # oracle); the ring walk incl. donut holes is in tests/test_dissolve.py
-    df_q("region_dissolve", q_region_dissolve_spark, _REGION_DISSOLVE_SQL)
-    # NEW r4c: z-order layout audit (Morton key + per-range-bucket
-    # locality stats; write path pytest-verified in test_layout.py)
-    df_q("zorder_layout", q_zorder_layout_spark, _zorder_layout_sql())
-    # NEW r4c: integer TF-IDF top-k retrieval (decontamination / topic
-    # probe surface; TakeOrderedAndProject top-k)
-    df_q("tfidf_topk", q_tfidf_topk_spark, _TFIDF_SQL)
-    # NEW r4d: eval-set n-gram decontamination (broadcast eval shingles,
-    # map-side corpus filter, one per-doc agg shuffle)
-    df_q("ngram_decontam", q_decontam_spark, _DECONTAM_SQL)
-    # NEW r4d: distributed per-group convex hull (map-side partial hulls
-    # via the hull reduction identity; oracle = Caratheodory exclusion)
-    df_q("convex_hull", q_convex_hull_spark, _CONVEX_HULL_SQL)
-    # NEW r4d: deterministic weighted priority sampling (integer
-    # hash-priority, TakeOrderedAndProject)
-    df_q("weighted_sample", q_weighted_sample_spark, _WEIGHTED_SAMPLE_SQL)
-    # NEW r4d: per-group exact quantiles, fully in-frame (no collect) —
-    # the many-groups form of exact_quantiles
-    df_q("grouped_quantiles", q_grouped_quantiles_spark,
-         _GROUPED_QUANTILES_SQL)
-    # NEW r4e: heavy hitters via mergeable Misra-Gries sketch + exact
-    # verify pass (output deterministic: exact counts above n/(k+1))
-    df_q("heavy_hitters", q_heavy_hitters_spark, _HEAVY_HITTERS_SQL)
-    # NEW r4e: per-doc span-sequence fingerprint — the north-rule per-row
-    # invariant (kind, content, media_ref, ORDER per doc_id) as one
-    # order-sensitive hash the driver compares directly
-    df_q("span_seq_fp", q_span_seq_fp_spark, _SPAN_SEQ_FP_SQL)
-    # NEW r4e: per-group 2D Pareto skyline (dominance-free set via the
-    # skyline reduction identity; oracle = NOT EXISTS dominance)
-    df_q("skyline", q_skyline_spark, _SKYLINE_SQL)
-
     return cat
