@@ -27,6 +27,7 @@ HEADLINE = [
     # relational (incl. broadcast-dim joins and as-of)
     "q1_pricing", "topk_per_group", "sessionize",
     "q3_shipping", "q5_region", "asof_join", "range_join",
+    "bloom_semi_join",
     # training-data ops
     "simhash", "minhash_lsh_pairs", "dedup_components", "ngram_jaccard",
     "embedding_topk", "embedding_ivf", "embedding_near_dup",
