@@ -35,7 +35,7 @@ HEADLINE = [
     "repetition_ratio", "training_order", "token_budget_mix",
     "line_dedup", "pii_redact", "tfidf_topk", "exact_quantiles",
     "ngram_decontam", "weighted_sample", "grouped_quantiles",
-    "heavy_hitters", "skyline",
+    "heavy_hitters", "skyline", "triangle_count", "pagerank",
     # multimodal binary columns
     "media_meta", "media_features",
     # interleaved spans synthesis

@@ -1284,6 +1284,95 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_triangle_count_spark(spark, sf_dir):
+    """Degree-ordered triangle counting (operators/graph_algos.py,
+    Suri & Vassilvitskii WWW'11): a deterministic 500-node graph is
+    synthesized from orders (mirrored verbatim in the oracle), edges
+    canonicalized + deduped, oriented low-(degree,id) -> high so every
+    node's out-degree is O(sqrt m) — the wedge self-join that explodes
+    on skewed graphs is bounded regardless of degree distribution.
+    Output: one row (n_edges, n_triangles), each triangle counted
+    exactly once; oracle = the independent 3-way canonical-edge join."""
+    from .operators.graph_algos import triangle_count
+    register_views(spark, sf_dir)
+    o = spark.table("orders")
+    edges = o.select(
+        (F.col("o_custkey") % 500).alias("a"),
+        ((F.col("o_custkey") * 7 + F.col("o_orderkey")) % 500).alias("b"))
+    return triangle_count(edges)
+
+
+_TRIANGLE_SQL = """
+WITH raw AS (
+  SELECT o_custkey % 500 AS x,
+         (o_custkey * 7 + o_orderkey) % 500 AS y
+  FROM orders
+), e AS (
+  SELECT DISTINCT LEAST(x, y) AS lo, GREATEST(x, y) AS hi
+  FROM raw WHERE x <> y
+), t AS (
+  SELECT COUNT(*) AS n
+  FROM e e1
+  JOIN e e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+  JOIN e e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+       CAST(n AS BIGINT) AS n_triangles
+FROM t
+"""
+
+
+def q_pagerank_spark(spark, sf_dir):
+    """Integer-exact PageRank, 5 synchronous iterations
+    (operators/graph_algos.py): a deterministic 400-node directed graph
+    from orders; every step is BIGINT multiply/DIV at 1e-12 rank units,
+    so the DuckDB oracle — the SAME five iterations as chained CTEs —
+    hash-matches bit-for-bit.  Per-iteration eager localCheckpoint cuts
+    the multiplicative plan growth (repo iterative-loop rule); the only
+    collects are two scalars (node count, initial rank)."""
+    from .operators.graph_algos import pagerank_int
+    register_views(spark, sf_dir)
+    o = spark.table("orders")
+    edges = o.select(
+        (F.col("o_custkey") % 400).alias("src"),
+        ((F.col("o_custkey") * 13 + F.col("o_orderkey")) % 400)
+        .alias("dst"))
+    return pagerank_int(edges, iters=5)
+
+
+def _pagerank_sql(iters: int = 5, scale: int = 10 ** 12) -> str:
+    """The exact integer recurrence of pagerank_int, unrolled as
+    chained CTEs (DuckDB // == Spark DIV on the all-positive ranks)."""
+    ctes = [f"""raw AS (
+  SELECT o_custkey % 400 AS src,
+         (o_custkey * 13 + o_orderkey) % 400 AS dst
+  FROM orders
+), e AS (
+  SELECT DISTINCT src, dst FROM raw WHERE src <> dst
+), nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), outd AS (
+  SELECT src, COUNT(*) AS od FROM e GROUP BY src
+), nn AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (
+  SELECT node, (SELECT {scale} // n FROM nn) AS rank FROM nodes
+)"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""i{i} AS (
+  SELECT e.dst AS node, SUM(r.rank // o.od) AS inb
+  FROM e JOIN r{i - 1} r ON e.src = r.node
+  JOIN outd o ON e.src = o.src
+  GROUP BY e.dst
+), r{i} AS (
+  SELECT nodes.node,
+         (SELECT (15 * {scale}) // (100 * n) FROM nn)
+         + (85 * COALESCE(i{i}.inb, 0)) // 100 AS rank
+  FROM nodes LEFT JOIN i{i} ON nodes.node = i{i}.node
+)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r{iters}")
+
+
 def q_pii_redact_spark(spark, sf_dir):
     """PII scrub (training-data scrubbing): count + mask emails / IPv4s /
     phone numbers with pure JVM regexp expressions (functions/text.py
@@ -2986,7 +3075,6 @@ GROUP BY GROUPING SETS ((cls, cell_y), (cls), ())""", "duckdb"))
     # join-strategy evidence is a subset of the reported q3_shipping +
     # range_join + asof_join surface)
     df_q("pii_redact", q_pii_redact_spark, _PII_REDACT_SQL)
-    df_q("asof_join", q_asof_join_spark, _ASOF_SQL)
     # banded interval join (NEW r4): point-in-window attribution as an
     # equi-join on (band, user) + refine — no BNLJ.  Registered inside
     # the report window; bbox_join demoted to the tail to make room.
@@ -3024,9 +3112,6 @@ GROUP BY GROUPING SETS ((cls, cell_y), (cls), ())""", "duckdb"))
     # near-dup: integer LSH bucket + capped in-bucket pairs -> exact oracle
     df_q("embedding_near_dup", q_embedding_near_dup_spark,
          _emb_near_dup_sql())
-
-    # -- multimodal binary columns (Arrow byte-parsing kernels) --------------
-    df_q("media_meta", q_media_meta_spark, _MEDIA_META_SQL)
 
     # -- face / landuse / tile pipeline (rows-only: sequential half-edge
     #    walk inside applyInPandas is not SQL-expressible; exactness covered
@@ -3140,6 +3225,14 @@ FROM m GROUP BY gy, grp""")
     # Bloom runtime-filter semi-join (NEW, never reported -> in-window;
     # text_stats demoted to the tail to hold the window at 50)
     df_q("bloom_semi_join", q_bloom_semi_join_spark, _BLOOM_SEMI_SQL)
+    # degree-ordered triangle counting (NEW -> in-window; media_meta
+    # demoted: green r1-r3, same Arrow byte-parse CTE as the reported
+    # media_resize)
+    df_q("triangle_count", q_triangle_count_spark, _TRIANGLE_SQL)
+    # integer-exact PageRank, 5 iterations (NEW -> in-window; asof_join
+    # demoted: green r1-r3, ordered-join surface kept via the reported
+    # range_join + q3_shipping)
+    df_q("pagerank", q_pagerank_spark, _pagerank_sql())
 
     # -- driver-report tail: demoted redundant-evidence greens (see the
     #    rotation comments above) ------------------------------------------
@@ -3207,9 +3300,15 @@ FROM s GROUP BY user_id""")
     # same spans synthesis into a strictly stronger order-sensitive
     # per-doc hash
     df_q("spans_explode", q_spans_spark, _SPANS_SQL)
-    # media_features (green r1-r3): same Arrow byte-parse CTE as the
-    # reported media_meta and media_resize
+    # media_meta / media_features (green r1-r3): same Arrow byte-parse
+    # CTE as the reported media_resize; media_meta demoted for the
+    # promoted triangle_count
+    df_q("media_meta", q_media_meta_spark, _MEDIA_META_SQL)
     df_q("media_features", q_media_features_spark, _MEDIA_FEATURES_SQL)
+    # asof_join (green r1-r3, demoted for the promoted pagerank):
+    # ordered-join surface kept via the reported range_join +
+    # q3_shipping
+    df_q("asof_join", q_asof_join_spark, _ASOF_SQL)
     # demoted with the r4 range_join promotion: green r1-r3, same
     # PTS/RECTS/PIP_JOIN CTEs and groupBy-agg shape as the still-reported
     # pip_assign/landuse_agg/overlap_area family
