@@ -18,7 +18,8 @@ AUDIT = ["pip_assign", "knn_snap", "tile_assign", "q3_shipping", "q5_region",
          "training_order", "token_budget_mix", "line_dedup", "pii_redact",
          "tfidf_topk", "exact_quantiles", "zorder_layout", "region_dissolve",
          "ngram_decontam", "convex_hull", "weighted_sample",
-         "grouped_quantiles", "heavy_hitters", "span_seq_fp", "skyline"]
+         "grouped_quantiles", "heavy_hitters", "span_seq_fp", "skyline",
+         "bloom_semi_join", "triangle_count", "pagerank"]
 out = ["""# Physical plan audit
 
 Generated from `.explain`/`executedPlan` at sf0.01 (regenerate with
@@ -104,6 +105,17 @@ join + one min-aggregation with the lineage cut by an eager
 localCheckpoint, and convergence is detected by the monotone label sum
 (numeric ids) or an exact node-keyed changed-row probe (string ids, e.g.
 the merge phase's face GUIDs) — no cartesian anywhere in the loop.
+
+`pagerank` shows 0 exchanges for the same reason: the snapshot is the
+plan OVER the last iteration's localCheckpoint; each iteration inside
+the loop is one edge⨝rank hash join + one partial+final sum + one
+left join back to nodes (audited in tests via the integer-model
+parity, not the final-plan string).  `triangle_count`'s broadcast rows
+are the two degree joins and the closing-edge probe at sf0.01 scale;
+at web scale the closing join keys on (v, w) both sides and shuffles
+hash-partitioned — no adjacency list is ever collected.
+`bloom_semi_join`'s plan is the refine semi-join over the map-side
+bloom Filter (the bitmap build is a separate ≤m/64-row job).
 
 ## Scan pushdown evidence (pip_assign)
 
