@@ -42,6 +42,7 @@ REPO = Path(__file__).resolve().parent.parent
 # itself scales ~perfectly across 4 concurrent procs (0.99-1.05x), so it
 # reads ambient load only
 QUIET_PROBE_S = 0.6
+SUITE_MARKER = "## Headline suite movement"
 
 # per-pair crash-safe checkpoint log (append-only jsonl); pairs recorded
 # here survive an interrupted batch and are merged (deduplicated) into
@@ -251,7 +252,15 @@ def main() -> None:
                 f"(before+after, both levels) all stayed < {QUIET_PROBE_S}s",
     }
     prev_path.write_text(json.dumps(result) + "\n")
-    (REPO / "BENCH.md").write_text(f"""# BENCH — scaling efficiency evidence (north_rule)
+    # preserve any hand-written sections below the suite marker — this
+    # writer owns only the scaling template above it
+    _bench_path = REPO / "BENCH.md"
+    _suite_tail = ""
+    if _bench_path.exists():
+        _old = _bench_path.read_text()
+        if SUITE_MARKER in _old:
+            _suite_tail = SUITE_MARKER + _old.split(SUITE_MARKER, 1)[1]
+    _bench_path.write_text(f"""# BENCH — scaling efficiency evidence (north_rule)
 
 The same job — cell-index encode -> broadcast tiled candidate index join +
 bbox prefilter -> exact PIP refine (cache-blocked numpy kernel via
@@ -357,7 +366,7 @@ shows up as 50-70% sys time), and a cache-blocked PIP kernel
 4->16 cores gave only 1.6x before blocking, 3.8x after).
 
 Reproduce: `python scripts/bench_scaling.py`
-""")
+""" + _suite_tail)
     # keep the BASELINE.md scaling row in sync with the live evidence
     base = REPO / "BASELINE.md"
     if base.exists():
