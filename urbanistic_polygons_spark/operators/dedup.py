@@ -437,6 +437,46 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
 LINE_POS_BASE = 1 << 20
 
 
+def ngram_novelty(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Per-document n-gram novelty: the permille of a document's DISTINCT
+    trigram shingles whose corpus-wide document frequency is exactly 1
+    (i.e. no other document contains them).  A standard quality /
+    contamination signal: boilerplate- or template-heavy documents score
+    low, unique prose scores high (inverse of the "duplicate n-gram
+    fraction" rules in Gopher / RefinedWeb appendix filters).
+
+    Output: (doc_id, n_shingles, n_novel, novelty_permille) — all
+    integers, oracle-exact.
+
+    Scale shape (100 TB): the exploded shingle stream is aggregated
+    twice — once keyed by shingle (document frequency; a df==1 shingle
+    identifies its ONLY owner via ``min(id)``, so no join-back against
+    the corpus is ever needed) and once keyed by doc (per-doc totals).
+    Re-running the map-side shingle expansion for the second aggregation
+    is deliberate: it avoids both a full materialization of the exploded
+    corpus and a shuffled self-join (repo rule), and hot boilerplate
+    shingles never build giant collected arrays — each is one counter
+    row.  The final join is novel-counts (docs with >=1 unique shingle)
+    into per-doc totals, both already doc-keyed.
+    """
+    ex = _exploded_shingles(docs, id_col, text_col)
+    # df==1 shingles have a unique owner: min(id) IS the owning doc.
+    dfreq = (ex.groupBy("sh")
+             .agg(F.count("*").alias("df"), F.min(id_col).alias("owner")))
+    novel = (dfreq.filter(F.col("df") == 1)
+             .groupBy(F.col("owner").alias(id_col))
+             .agg(F.count("*").alias("n_novel")))
+    tot = ex.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    return (tot.join(novel, id_col, "left")
+            .select(F.col(id_col),
+                    F.col("n_shingles").cast("long").alias("n_shingles"),
+                    F.coalesce("n_novel", F.lit(0)).cast("long")
+                    .alias("n_novel"))
+            .withColumn("novelty_permille",
+                        F.expr("(1000 * n_novel) DIV n_shingles")))
+
+
 def line_dedup_stats(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", chunk: int = 8) -> DataFrame:
     """Corpus-wide exact line-level dedup stats (C4 §2.2 / RefinedWeb-style
