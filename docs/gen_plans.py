@@ -19,7 +19,9 @@ AUDIT = ["pip_assign", "knn_snap", "tile_assign", "q3_shipping", "q5_region",
          "tfidf_topk", "exact_quantiles", "zorder_layout", "region_dissolve",
          "ngram_decontam", "convex_hull", "weighted_sample",
          "grouped_quantiles", "heavy_hitters", "span_seq_fp", "skyline",
-         "bloom_semi_join", "triangle_count", "pagerank"]
+         "bloom_semi_join", "triangle_count", "pagerank",
+         "chunk_docs", "bpe_pairs", "ngram_novelty", "fuzzy_dedup",
+         "idw_grid"]
 out = ["""# Physical plan audit
 
 Generated from `.explain`/`executedPlan` at sf0.01 (regenerate with
