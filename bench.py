@@ -36,6 +36,10 @@ HEADLINE = [
     "line_dedup", "pii_redact", "tfidf_topk", "exact_quantiles",
     "ngram_decontam", "weighted_sample", "grouped_quantiles",
     "heavy_hitters", "skyline", "triangle_count", "pagerank",
+    # r4g additions: chunking / BPE pairs / novelty / fuzzy dedup / IDW /
+    # HyperLogLog
+    "chunk_docs", "bpe_pairs", "ngram_novelty", "fuzzy_dedup", "idw_grid",
+    "hll_distinct",
     # multimodal binary columns
     "media_meta", "media_features",
     # interleaved spans synthesis

@@ -68,3 +68,29 @@ def test_no_hitters_above_threshold(spark):
     tokens = [f"u{j}" for j in range(8)] * 10
     df = spark.createDataFrame([(t,) for t in tokens], "token string")
     assert heavy_hitters(df, "token", k=3).count() == 0
+
+
+def test_hll_estimate_accuracy_and_invariance(spark):
+    from urbanistic_polygons_spark.operators.sketches import hll_distinct
+    # two groups with very different cardinalities; values repeated so the
+    # estimate must be cardinality- (not row-)driven
+    rows = ([("big", f"k{j}") for j in range(2000)] * 2
+            + [("small", f"s{j}") for j in range(40)] * 3)
+    df = spark.createDataFrame(rows, "grp string, key string")
+    outs = []
+    for parts in (1, 13):
+        got = {r.grp: r for r in
+               hll_distinct(df.repartition(parts), "key", ["grp"]).collect()}
+        outs.append({g: (r.n_exact, r.n_buckets, r.s_scaled, r.hll_est)
+                     for g, r in got.items()})
+    # registers are an algebraic MAX aggregation: partitioning-invariant
+    assert outs[0] == outs[1]
+    got = outs[0]
+    assert got["big"][0] == 2000 and got["small"][0] == 40
+    # m=64 raw HLL: std error ~13%; assert a generous 3-sigma band for
+    # the large group (the small group sits in the uncorrected
+    # small-range regime — only sanity-bound it)
+    assert 0.6 * 2000 <= got["big"][3] <= 1.4 * 2000
+    assert 0 < got["small"][3] <= 5 * 40
+    # registers bounded by m
+    assert got["big"][1] <= 64 and got["small"][1] <= 64

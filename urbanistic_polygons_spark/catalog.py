@@ -3088,6 +3088,55 @@ SELECT doc_a, doc_b, CAST(lev AS BIGINT) AS lev FROM pairs WHERE lev <= 16
 """
 
 
+def q_hll_distinct_spark(spark, sf_dir):
+    """HyperLogLog distinct customers per order status
+    (operators/sketches.py::hll_distinct): md5-derived portable registers
+    (bucket, trailing-zero rank) aggregated with two partial-aggregable
+    groupBys over groups x 64 buckets — the distinct-key set is never
+    shuffled; the BIGINT estimator is deterministic in both engines.
+    n_exact rides along for estimate verification."""
+    from .operators.sketches import hll_distinct
+    register_views(spark, sf_dir)
+    orders = spark.table("orders").select("o_orderstatus", "o_custkey")
+    return hll_distinct(orders, "o_custkey", ["o_orderstatus"])
+
+
+def _hll_sql() -> str:
+    ctz = " + ".join(f"CASE WHEN rest % {1 << b} = 0 THEN 1 ELSE 0 END"
+                     for b in range(1, 41))
+    return f"""
+WITH k AS (
+  SELECT o_orderstatus,
+         CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h,
+         o_custkey
+  FROM orders
+), kb AS (
+  SELECT o_orderstatus, o_custkey, h % 64 AS bucket, h // 64 AS rest FROM k
+), r AS (
+  SELECT o_orderstatus, bucket, MAX(1 + ({ctz})) AS rho
+  FROM kb GROUP BY o_orderstatus, bucket
+), per AS (
+  SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         CAST(SUM(1099511627776 // (CAST(1 AS BIGINT) << rho)) AS BIGINT)
+           AS s_ne
+  FROM r GROUP BY o_orderstatus
+), s AS (
+  SELECT o_orderstatus, n_buckets,
+         CAST((64 - n_buckets) * 1099511627776 + s_ne AS BIGINT) AS s_scaled
+  FROM per
+), e AS (
+  SELECT o_orderstatus, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact
+  FROM kb GROUP BY o_orderstatus
+)
+SELECT e.o_orderstatus, e.n_exact, s.n_buckets, s.s_scaled,
+       CAST((709 * LEAST(CAST(4096 AS BIGINT) * 1099511627776
+                         // GREATEST(s.s_scaled, 1), 1099511627776)) // 1000
+            AS BIGINT) AS hll_est
+FROM e JOIN s ON e.o_orderstatus = s.o_orderstatus
+"""
+
+
 def q_idw_grid_spark(spark, sf_dir):
     """Inverse-distance-weighted raster interpolation over the micro
     space: each point scatters into its 3x3 cell halo MAP-SIDE (a 9-row
@@ -3273,9 +3322,8 @@ GROUP BY GROUPING SETS ((cls, cell_y), (cls), ())""", "duckdb"))
     # faces_landuse: the real float clip kernel over quarter-step-aligned
     # landuse rects -> exact integer-permyriad dominance oracle
     df_q("faces_landuse", q_faces_landuse_spark, _FACES_LANDUSE_SQL)
-    df_q("mvt_tiles", q_mvt_tiles_spark, _MVT_TILES_SQL)
-    # (r4g rotation: density_mvt — green r1-r3 — demoted to the tail;
-    # rationale at its tail registration.)
+    # (r4g rotation: mvt_tiles and density_mvt — green r1-r3 — demoted to
+    # the tail; rationale at their tail registrations.)
     # serve-path composition: z12 request -> SubTilesFor descent ->
     # face-GUID dedup -> MVT encode (E1/E3)
     df_q("tile_serve_pyramid", q_tile_serve_spark, _TILE_SERVE_SQL)
@@ -3404,6 +3452,11 @@ FROM m GROUP BY gy, grp""")
     # inverse-distance-weighted raster interpolation (map-side 3x3 halo
     # scatter, ONE shuffle)
     df_q("idw_grid", q_idw_grid_spark, _IDW_GRID_SQL)
+    # HyperLogLog distinct counting with deterministic portable registers
+    # (NEW -> in-window; mvt_tiles demoted: green r1-r3, its MVT encode +
+    # tile-cover evidence is composed end-to-end by the still-reported
+    # tile_serve_pyramid and landuse_serve, wire bytes pytest-parsed)
+    df_q("hll_distinct", q_hll_distinct_spark, _hll_sql())
 
     # -- driver-report tail: demoted redundant-evidence greens (see the
     #    rotation comments above) ------------------------------------------
@@ -3442,9 +3495,15 @@ GROUP BY a.cell_id""", "duckdb"))
     # stays pytest-pinned)
     df_q("embedding_ann", q_embedding_ann_spark, _emb_ann_sql())
     # density_mvt: density-raster arithmetic stays reported via
-    # raster_vectorize; the MVT encode stays reported via mvt_tiles,
+    # raster_vectorize; the MVT encode stays reported via
     # tile_serve_pyramid and landuse_serve (wire bytes pytest-parsed)
     df_q("density_mvt", q_density_mvt_spark, _DENSITY_MVT_SQL)
+    # mvt_tiles (demoted for the promoted hll_distinct): green r1-r3; its
+    # MVT encode + tile-cover evidence is composed end-to-end by the
+    # still-reported tile_serve_pyramid (descent -> GUID dedup -> MVT,
+    # exact z12 oracle) and landuse_serve (E3 layer encode), and the wire
+    # bytes stay pytest-parsed in tests/test_landuse_sinks_misc.py
+    df_q("mvt_tiles", q_mvt_tiles_spark, _MVT_TILES_SQL)
     # r4f demotions — all driver-green in 2-3 prior rounds:
     # overlap_area (green r1-r3): its integer clip arithmetic is composed
     # end-to-end by the still-reported faces_landuse (float clip kernel,

@@ -34,6 +34,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions import text as X
+
 
 def mg_merge(counts: dict, k: int) -> dict:
     """Misra-Gries reduction: if more than k counters, subtract the
@@ -97,3 +99,80 @@ def heavy_hitters(df: DataFrame, token_col: str, k: int = 32) -> DataFrame:
     exact = (toks.filter(F.col("token").isin(cand))
              .groupBy("token").agg(F.count("*").cast("long").alias("cnt")))
     return exact.filter(F.col("cnt") * (k + 1) > F.lit(n))
+
+
+# -- HyperLogLog with deterministic portable registers ----------------------
+# The second classic mergeable sketch (Flajolet et al., AofA'07): distinct
+# counting where the distinct-key set is itself too large to shuffle.  The
+# registers are derived from the repo's portable md5 hash, so the whole
+# computation — bucket, rank, register max, integer estimator — is
+# bit-for-bit reproducible in the DuckDB oracle (unlike Spark's built-in
+# approx_count_distinct, whose sketch is engine-internal).
+
+HLL_P = 6                       # 2^6 = 64 registers; std error ~1.04/8 = 13%
+HLL_ALPHA_PERMILLE = 709        # alpha_64 from the HLL paper
+_HLL_SCALE = 1 << 40            # integer 2^-rho arithmetic: term = 2^40 >> rho
+
+
+def _rho(rest):
+    """1 + count-trailing-zeros of the post-bucket hash bits, as a branch-
+    free divisibility sum (ctz = max b with rest % 2^b == 0, monotone in
+    b) — the same 40-term expression renders in any SQL dialect."""
+    ctz = None
+    for b in range(1, 41):
+        term = F.when(rest % F.lit(1 << b) == 0, F.lit(1)).otherwise(F.lit(0))
+        ctz = term if ctz is None else ctz + term
+    return (F.lit(1) + ctz).alias("rho")
+
+
+def hll_distinct(df: DataFrame, key_col: str,
+                 group_cols: list[str]) -> DataFrame:
+    """Per-group HyperLogLog distinct-count estimate PLUS the exact count
+    for verification: (group..., n_exact, n_buckets, s_scaled, hll_est).
+
+    Scale shape (100 TB): the register aggregation is two partial-
+    aggregable groupBys whose reduce key space is groups x 64 buckets —
+    the distinct-key set is NEVER shuffled (registers merge with MAX, so
+    this extends to any pre-aggregated/mergeable layout).  ``n_exact``
+    (a real distinct shuffle) is included for estimate verification in
+    the catalog/oracle; a production rollup reads the registers only.
+
+    Estimator: raw HLL, alpha_64 * m^2 / sum(2^-rho), computed entirely
+    in BIGINT (term = 2^40 >> rho, empty buckets contribute 2^40, final
+    alpha multiply in permille) — deterministic in both engines.  No
+    small-range linear-counting correction (it needs a float log;
+    determinism is worth more here than the small-range bias, and the
+    registers themselves are the durable artifact).
+    """
+    m = 1 << HLL_P
+    h = X.hash60(F.col(key_col).cast("string"))
+    keyed = (df.select(*group_cols, h.alias("h"))
+             .select(*group_cols,
+                     (F.col("h") % m).alias("bucket"),
+                     F.expr(f"h DIV {m}").alias("rest")))
+    reg = (keyed.select(*group_cols, "bucket", _rho(F.col("rest")))
+           .groupBy(*group_cols, "bucket")
+           .agg(F.max("rho").alias("rho")))
+    per = (reg.withColumn(
+        "term", F.expr(f"{_HLL_SCALE} DIV shiftleft(1L, rho)"))
+        .groupBy(*group_cols)
+        .agg(F.count("*").cast("long").alias("n_buckets"),
+             F.sum("term").cast("long").alias("s_nonempty")))
+    per = per.withColumn(
+        "s_scaled",
+        (F.lit(m) - F.col("n_buckets")) * F.lit(_HLL_SCALE)
+        + F.col("s_nonempty"))
+    # raw = min(alpha-free ratio m^2 * 2^40 / S, 2^40) keeps the permille
+    # multiply below inside int64
+    hll = per.select(
+        *group_cols, "n_buckets", "s_scaled",
+        F.expr(f"({HLL_ALPHA_PERMILLE} * "
+               f"least(CAST({m * m} AS BIGINT) * {_HLL_SCALE} "
+               f"DIV greatest(s_scaled, 1), {_HLL_SCALE})) DIV 1000")
+        .cast("long").alias("hll_est"))
+    exact = (df.groupBy(*group_cols)
+             .agg(F.count_distinct(F.col(key_col)).cast("long")
+                  .alias("n_exact")))
+    return (exact.join(hll, group_cols)
+            .select(*group_cols, "n_exact", "n_buckets", "s_scaled",
+                    "hll_est"))
