@@ -40,6 +40,8 @@ HEADLINE = [
     # HyperLogLog
     "chunk_docs", "bpe_pairs", "ngram_novelty", "fuzzy_dedup", "idw_grid",
     "hll_distinct",
+    # r4h: prefix-filtered set-similarity join (AllPairs/PPJoin)
+    "prefix_jaccard",
     # multimodal binary columns
     "media_meta", "media_features",
     # interleaved spans synthesis

@@ -527,3 +527,131 @@ def line_dedup_stats(docs: DataFrame, id_col: str = "doc_id",
                     .alias("n_kept"))
             .withColumn("n_dropped",
                         (F.col("n_lines") - F.col("n_kept")).cast("long")))
+
+
+def prefix_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         threshold_permille: int = 800,
+                         use_shingles: bool = False) -> DataFrame:
+    """Exact token-set Jaccard join via PREFIX FILTERING (AllPairs /
+    PPJoin family — Chaudhuri et al. ICDE'06, Bayardo et al. WWW'07): the
+    set-similarity-join technique the blocked :func:`ngram_jaccard_pairs`
+    doesn't cover.  Tokens are globally ordered rarest-first by document
+    frequency; a pair with Jaccard >= t MUST share a token inside both
+    docs' first ``n - ceil(t*n) + 1`` tokens under that order, so only
+    prefix tokens are exploded into the inverted index.  Because prefix
+    tokens are by construction the RAREST ones, the candidate index has no
+    hot keys — the skew cap that ngram blocking needs is unnecessary here.
+
+    Output: (doc_a, doc_b, inter, n_a, n_b) — exact, so the DuckDB oracle
+    is the BRUTE-FORCE Jaccard join: any pair the prefix filter lost would
+    show up as a hash mismatch.
+
+    Scale shape: the prefix postings carry ONLY (doc_id, n) — 16 bytes —
+    never the token arrays (a posting-carried array serializes O(n) bytes
+    per posting through the shuffle, measured as a timeout at sf0.1); the
+    sorted-token table is localCheckpointed ONCE and joined back for the
+    two sides of each surviving candidate, so the tokenization subtree is
+    never recomputed per join side.  Intersections are computed only for
+    candidates, as a top-level codegen'd ``array_intersect`` — never
+    inside an interpreted lambda.
+
+    ``use_shingles`` picks the item granularity.  Prefix filtering needs a
+    HIGH-CARDINALITY item space: on a small uniform vocabulary every
+    "rare" token still posts thousands of docs and candidate generation
+    degenerates quadratic (measured: raw tokens over the synthetic corpus
+    at sf0.1 — median token df 3862 of 5000 docs — timed out; 3-gram
+    shingles run in seconds).  Natural-language corpora should pass
+    ``use_shingles=True``; raw tokens remain for set-valued columns that
+    are already high-cardinality.
+
+    Reference workload analog: the cross-tile duplicate-way collapse
+    (`src/ANYWAYS.UrbanisticPolygons/Landuse/...Extensions.cs`) is an
+    exact-key dedup; this is its similarity-threshold generalization for
+    the interleaved-document corpus.
+    """
+    t = threshold_permille
+    tok = docs.select(F.col(id_col).cast("long").alias("id"),
+                      X.tokens(F.col(text_col)).alias("raw"))
+    if use_shingles:
+        tok = tok.select("id", shingles_of_tokens(F.col("raw")).alias("raw"))
+    ex = tok.select("id", F.explode_outer(F.array_distinct("raw")).alias("t"))
+    # document frequency WITHOUT a postings⨝df join (which would scan the
+    # posting pipeline twice): one group-collect per item carries df =
+    # size(ids) back to each member in the same pass
+    by_item = ex.groupBy("t").agg(F.collect_list("id").alias("ids"))
+    # global rarest-first order without a global sort: (df, item) IS the
+    # order key, so a per-doc array_sort over collected structs suffices
+    ranked = (by_item
+              .select(F.size("ids").alias("df"), "t",
+                      F.explode_outer("ids").alias("id"))
+              .groupBy("id")
+              .agg(F.array_sort(F.collect_list(F.struct("df", "t")))
+                   .alias("ord")))
+    base = ranked.select(
+        "id",
+        F.transform("ord", lambda x: x["t"]).alias("tk"),
+        F.size("ord").alias("n"))
+    # materialize the (id, sorted tokens, n) table once: the candidate
+    # verification joins it back TWICE, and an unmaterialized subtree
+    # would re-run tokenize+df+sort per join side
+    base = base.localCheckpoint(eager=True)
+    # prefix length n - ceil(t*n/1000) + 1, all-integer
+    plen = (F.col("n")
+            - F.floor((F.lit(t) * F.col("n") + F.lit(999)) / F.lit(1000))
+            + F.lit(1)).cast("int")
+    pref = base.select(
+        "id", "n",
+        F.posexplode_outer(F.slice("tk", F.lit(1), plen))
+        .alias("pos0", "s")).withColumn("pos", F.col("pos0") + 1).drop("pos0")
+    grouped = (pref.groupBy("s")
+               .agg(F.array_sort(F.collect_list(
+                   F.struct(F.col("id"), F.col("n"), F.col("pos"))))
+                   .alias("m"))
+               .filter(F.size("m") > 1))
+    pairs = grouped.select(F.explode(F.flatten(F.transform(
+        F.col("m"),
+        lambda x, i: F.transform(
+            F.slice(F.col("m"), i + F.lit(2),
+                    F.greatest(F.size(F.col("m")) - i - F.lit(1), F.lit(0))),
+            lambda y: F.struct(
+                x["id"].alias("doc_a"), x["n"].alias("n_a"),
+                x["pos"].alias("pos_a"),
+                y["id"].alias("doc_b"), y["n"].alias("n_b"),
+                y["pos"].alias("pos_b")))))).alias("p"))
+    # AllPairs LENGTH filter (J >= t forces t*max(n) <= 1000*min(n))
+    # prunes before the dedup shuffle; the dedup groupBy then doubles as
+    # PPJoin's POSITION filter: every shared non-meeting item sorts
+    # globally after the LAST meeting (a shared item before any meeting
+    # would itself sit inside both prefixes, i.e. be a meeting), so
+    # I <= meets + min(n_a - max_pos_a, n_b - max_pos_b); pairs whose
+    # bound misses minoverlap = ceil(t*(n_a+n_b)/(1000+t)) never fetch
+    # their token arrays.
+    met = (pairs.select("p.doc_a", "p.doc_b", "p.n_a", "p.n_b",
+                        "p.pos_a", "p.pos_b")
+           .filter(F.lit(1000) * F.least("p.n_a", "p.n_b")
+                   >= F.lit(t) * F.greatest("p.n_a", "p.n_b"))
+           .groupBy("doc_a", "doc_b", "n_a", "n_b")
+           .agg(F.count("*").alias("meets"),
+                F.max("pos_a").alias("max_a"),
+                F.max("pos_b").alias("max_b")))
+    minoverlap = F.floor(
+        (F.lit(t) * (F.col("n_a") + F.col("n_b")) + F.lit(1000 + t) - 1)
+        / F.lit(1000 + t))
+    cand = (met.filter(
+        F.col("meets") + F.least(F.col("n_a") - F.col("max_a"),
+                                 F.col("n_b") - F.col("max_b"))
+        >= minoverlap)
+        .select("doc_a", "doc_b", "n_a", "n_b"))
+    scored = (cand
+              .join(base.select(F.col("id").alias("doc_a"),
+                                F.col("tk").alias("tk_a")), "doc_a")
+              .join(base.select(F.col("id").alias("doc_b"),
+                                F.col("tk").alias("tk_b")), "doc_b")
+              .select("doc_a", "doc_b", "n_a", "n_b",
+                      F.size(F.array_intersect("tk_a", "tk_b"))
+                      .alias("inter")))
+    return (scored.filter(
+        F.lit(1000) * F.col("inter")
+        >= F.lit(t) * (F.col("n_a") + F.col("n_b") - F.col("inter")))
+        .select("doc_a", "doc_b", "inter", "n_a", "n_b"))
