@@ -722,3 +722,57 @@ def test_iceberg_lineage_roundtrip(spark, tmp_path):
     assert store.read("s", as_of=snaps[0]["snapshot_id"]).count() == 20
     store.rollback("s", snaps[0]["snapshot_id"])
     assert store.read("s").count() == 20
+
+
+def test_streaming_session_windows_append(spark, tmp_path):
+    """Native session-window sessionization (streaming analog of the
+    batch `sessionize` query): events within the gap MERGE into one
+    session whose end extends to last-event + gap, a longer silence
+    splits, and append mode emits each session exactly once when the
+    watermark closes it."""
+    from datetime import datetime, timedelta
+
+    from urbanistic_polygons_spark.streaming.ingest import (
+        DOC_STREAM_SCHEMA, stream_documents, streaming_sessionize)
+
+    src = tmp_path / "docs_sessions"
+    src.mkdir()
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def write_batch(rows):
+        df = spark.createDataFrame(
+            [(d, ts, []) for d, ts in rows], DOC_STREAM_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(str(src))
+
+    agg = streaming_sessionize(stream_documents(spark, str(src)),
+                               gap="10 minutes", watermark="30 minutes")
+    q = (agg.writeStream.outputMode("append").format("memory")
+         .queryName("sessions_append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_sessions"))
+         .start())
+    try:
+        batches = [
+            # u1: 3 events with intra-gap spacing -> ONE merged session
+            # ending at last event + gap = t0+22m
+            [("u1_a", t0), ("u1_b", t0 + timedelta(minutes=5)),
+             ("u1_c", t0 + timedelta(minutes=12)),
+             # u2: silence of 30m > gap -> TWO singleton sessions
+             ("u2_a", t0), ("u2_b", t0 + timedelta(minutes=30))],
+            # sentinel advances the watermark to t0+90m, closing all of
+            # the above; its own open session must NOT be emitted
+            [("wm_x", t0 + timedelta(minutes=120))],
+        ]
+        for rows in batches:
+            write_batch(rows)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM sessions_append "
+                    "ORDER BY actor, session_start").toPandas()
+    rows = [(r.actor, r.session_start, r.session_end, r.n_events)
+            for r in got.itertuples()]
+    assert rows == [
+        ("u1", t0, t0 + timedelta(minutes=22), 3),
+        ("u2", t0, t0 + timedelta(minutes=10), 1),
+        ("u2", t0 + timedelta(minutes=30), t0 + timedelta(minutes=40), 1),
+    ]

@@ -49,6 +49,29 @@ def streaming_cell_counts(docs: DataFrame,
                     "cell_id", "n_docs"))
 
 
+def streaming_sessionize(docs: DataFrame,
+                         gap: str = "10 minutes",
+                         watermark: str = "30 minutes") -> DataFrame:
+    """Session-window aggregation — the streaming analog of the batch
+    ``sessionize`` catalog query: events from the same actor (doc_id
+    prefix) within ``gap`` of each other merge into ONE session whose
+    window end extends to last-event + gap; a longer silence starts a
+    new session.  Uses Spark's native ``F.session_window`` (merging
+    interval state per actor, no custom stateful operator needed); the
+    watermark both drops late events and CLOSES sessions so append mode
+    emits each finished session exactly once.  State is bounded by the
+    open sessions inside the watermark horizon — the 10^12-doc shape.
+    """
+    keyed = (docs.withWatermark("event_time", watermark)
+             .select(F.substring_index("doc_id", "_", 1).alias("actor"),
+                     "event_time"))
+    return (keyed.groupBy(F.session_window("event_time", gap), "actor")
+            .agg(F.count("*").alias("n_events"))
+            .select(F.col("session_window.start").alias("session_start"),
+                    F.col("session_window.end").alias("session_end"),
+                    "actor", "n_events"))
+
+
 def _duration_ms(text: str) -> int:
     n, unit = text.split()
     mult = {"millisecond": 1, "second": 1000, "minute": 60_000,
