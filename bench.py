@@ -40,8 +40,9 @@ HEADLINE = [
     # HyperLogLog
     "chunk_docs", "bpe_pairs", "ngram_novelty", "fuzzy_dedup", "idw_grid",
     "hll_distinct",
-    # r4h: prefix-filtered set-similarity join (AllPairs/PPJoin)
-    "prefix_jaccard",
+    # r4h: prefix-filtered set-similarity join (AllPairs/PPJoin) +
+    # repeated-substring dedup spans (Lee et al. 2022)
+    "prefix_jaccard", "repeated_spans",
     # multimodal binary columns
     "media_meta", "media_features",
     # interleaved spans synthesis

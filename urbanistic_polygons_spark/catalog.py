@@ -559,6 +559,17 @@ def q_prefix_jaccard_spark(spark, sf_dir):
                                 use_shingles=True)
 
 
+def q_repeated_spans_spark(spark, sf_dir):
+    """Corpus-level repeated-substring spans (Lee et al. 2022 shape):
+    duplicated 5-gram positions merged into maximal per-doc token spans.
+    The aug fixture guarantees mass: every doc and its 90%-truncated
+    copy share the prefix grams, so spans cover most of each doc with a
+    real boundary where the truncation cuts mid-token."""
+    from .operators.dedup import repeated_substring_spans
+    register_views(spark, sf_dir)
+    return repeated_substring_spans(_aug_docs(spark), k=5)
+
+
 def q_minhash_lsh_spark(spark, sf_dir):
     from .operators.dedup import minhash_lsh_pairs
     register_views(spark, sf_dir)
@@ -2669,6 +2680,49 @@ WHERE 1000 * inter >= 700 * (na.n + nb.n - inter)
 """
 
 
+# repeated-substring spans: duplicated 5-gram positions -> per-doc
+# gaps-and-islands merge (two covered intervals are one token run iff
+# next_pos <= prev_pos + k)
+_REPEATED_SPANS_SQL = f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         substr(text, 1, CAST((9 * length(text)) // 10 AS INT))
+  FROM documents
+), toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM aug
+), g0 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, CAST(len(t) - 3 AS BIGINT)),
+           i -> struct_pack(pos := CAST(i - 1 AS INT),
+                            gram := array_to_string(t[i:i+4], ' ')))) AS u
+  FROM toks WHERE len(t) >= 5
+), posts AS (
+  SELECT doc_id, u.pos AS pos, u.gram AS gram FROM g0
+), dup AS (
+  SELECT gram FROM posts GROUP BY gram HAVING COUNT(*) >= 2
+), hits AS (
+  SELECT doc_id, pos FROM posts WHERE gram IN (SELECT gram FROM dup)
+), lagged AS (
+  SELECT doc_id, pos,
+         LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM hits
+), isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev IS NOT NULL AND pos <= prev + 5
+                  THEN 0 ELSE 1 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM lagged
+)
+SELECT doc_id, CAST(MIN(pos) AS INT) AS span_start,
+       CAST(MAX(pos) + 4 AS INT) AS span_end,
+       CAST(MAX(pos) + 4 - MIN(pos) + 1 AS INT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_grams
+FROM isl GROUP BY doc_id, isl
+"""
+
+
 _EMB_TOPK_SQL = """
 WITH b AS (
   SELECT vec_id,
@@ -3320,7 +3374,13 @@ GROUP BY GROUPING SETS ((cls, cell_y), (cls), ())""", "duckdb"))
     df_q("range_join", q_range_join_spark, _RANGE_JOIN_SQL)
 
     # -- text / dedup / similarity ------------------------------------------
-    df_q("exact_dedup_docs", q_exact_dedup_docs_spark, _EXACT_DEDUP_SQL)
+    # NEW r4h: repeated-substring dedup spans (Lee et al. 2022) enter
+    # the window in place of exact_dedup_docs (demoted to the tail:
+    # green r1-r3; the still-reported line_dedup exercises the identical
+    # md5-fingerprint groupBy-min winner shape at line granularity, and
+    # this query now reports corpus duplication at sub-document
+    # granularity — rationale at the tail registration)
+    df_q("repeated_spans", q_repeated_spans_spark, _REPEATED_SPANS_SQL)
     # sequence packing (NEW r4): greedy context-window fill, per-shard
     # sequential recurrence inside applyInPandas; recursive-CTE oracle.
     # Registered inside the report window; dedup_keeper demoted to the
@@ -3506,7 +3566,13 @@ FROM m GROUP BY gy, grp""")
 
     # -- driver-report tail: demoted redundant-evidence greens (see the
     #    rotation comments above) ------------------------------------------
-    # r4h demotion — driver-green r1-r3:
+    # r4h demotions — driver-green r1-r3:
+    # exact_dedup_docs: the still-reported line_dedup computes the
+    # identical md5-fingerprint -> groupBy -> min-winner shape (at line
+    # granularity, with position packing on top), and the new reported
+    # repeated_spans covers corpus duplication detection at sub-document
+    # granularity
+    df_q("exact_dedup_docs", q_exact_dedup_docs_spark, _EXACT_DEDUP_SQL)
     # minhash_lsh_pairs: the still-reported dedup_components is literally
     # composed FROM this query (near_dup_components over the identically
     # capped LSH pair graph), so its banded-bucket evidence stays reported

@@ -655,3 +655,58 @@ def prefix_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
         F.lit(1000) * F.col("inter")
         >= F.lit(t) * (F.col("n_a") + F.col("n_b") - F.col("inter")))
         .select("doc_a", "doc_b", "inter", "n_a", "n_b"))
+
+
+def repeated_substring_spans(docs: DataFrame, id_col: str = "doc_id",
+                             text_col: str = "text", k: int = 5) -> DataFrame:
+    """Corpus-level REPEATED-SUBSTRING spans (the token-gram form of Lee
+    et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): a k-token gram that occurs >= 2 times anywhere in the
+    corpus (another document OR the same one) marks its positions
+    duplicated; per document, runs of duplicated gram positions whose
+    covered tokens are contiguous merge into maximal spans — the exact
+    byte ranges a training pipeline cuts, rather than whole-document
+    dedup.
+
+    Output: (doc_id, span_start, span_end, n_tokens, n_grams) with
+    token-index spans, start/end inclusive.
+
+    Scale shape: gram postings are (id, pos, gram) rows materialized
+    ONCE (localCheckpoint) and reused for the df count and the
+    left-semi hit filter — duplicated-gram detection is a count
+    aggregate + semi-join on the gram key, never a collect_list (a
+    boilerplate gram repeated 10^6 times stays a counter, not an
+    array).  Span assembly is a per-document window (bounded by doc
+    length).  At 10^12 docs the postings table is the big artifact —
+    it shuffles once for the count and once for the semi-join, both
+    on the same key.
+    """
+    tok = docs.select(F.col(id_col).cast("long").alias("id"),
+                      X.tokens(F.col(text_col)).alias("toks"))
+    toks = F.col("toks")
+    post = (tok.filter(F.size("toks") >= k)
+            .select("id", F.posexplode_outer(F.transform(
+                F.sequence(F.lit(0), F.size("toks") - k),
+                lambda i: F.concat_ws(
+                    " ", *[toks[i + F.lit(j)] for j in range(k)])))
+                .alias("pos", "gram")))
+    post = post.localCheckpoint(eager=True)
+    dup = (post.groupBy("gram").agg(F.count("*").alias("c"))
+           .filter(F.col("c") >= 2).select("gram"))
+    hits = post.join(dup, "gram", "left_semi").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    # two covered intervals [p, p+k-1], [q, q+k-1] (q > p) are one
+    # contiguous token run iff q <= p + k
+    isl = (hits
+           .withColumn("new_isl",
+                       F.when(F.col("pos") > F.lag("pos").over(w) + k,
+                              F.lit(1)).otherwise(F.lit(0)))
+           .withColumn("isl", F.sum("new_isl").over(w)))
+    return (isl.groupBy("id", "isl")
+            .agg(F.min("pos").alias("span_start"),
+                 (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+                 F.count("*").cast("long").alias("n_grams"))
+            .select(F.col("id").alias(id_col), "span_start", "span_end",
+                    (F.col("span_end") - F.col("span_start") + F.lit(1))
+                    .alias("n_tokens"),
+                    "n_grams"))
