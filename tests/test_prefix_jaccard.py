@@ -63,3 +63,13 @@ def test_identical_docs_and_empty_doc(spark):
                                threshold_permille=1000).collect()
     assert len(got) == 1 and (got[0].doc_a, got[0].doc_b) == (1, 2)
     assert (got[0].inter, got[0].n_a, got[0].n_b) == (3, 3, 3)
+
+
+def test_two_empty_docs_never_pair(spark):
+    # empty token arrays explode_outer to a NULL item; group-collect must
+    # drop it (the brute-force oracle's unnest emits nothing), otherwise
+    # empty docs "pair" via NULL + array_intersect's null-safe equality
+    rows = [(1, ""), (2, ""), (3, "a b")]
+    got = prefix_jaccard_pairs(_docs(spark, rows),
+                               threshold_permille=500).collect()
+    assert got == []

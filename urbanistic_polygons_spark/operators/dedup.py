@@ -575,7 +575,15 @@ def prefix_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                       X.tokens(F.col(text_col)).alias("raw"))
     if use_shingles:
         tok = tok.select("id", shingles_of_tokens(F.col("raw")).alias("raw"))
-    ex = tok.select("id", F.explode_outer(F.array_distinct("raw")).alias("t"))
+    # explode_outer for the InferFiltersFromGenerate trap (tokens CAN be
+    # empty here, so plain explode would push an interpreted size-filter
+    # below the projection); the exploded NULL an empty array emits must
+    # then be dropped explicitly — groupBy KEEPS a null key group, so two
+    # empty docs would otherwise "pair" via the NULL item and
+    # array_intersect's null-safe equality (the brute-force oracle drops
+    # them: unnest of an empty list emits nothing)
+    ex = (tok.select("id", F.explode_outer(F.array_distinct("raw")).alias("t"))
+          .filter(F.col("t").isNotNull()))
     # document frequency WITHOUT a postings⨝df join (which would scan the
     # posting pipeline twice): one group-collect per item carries df =
     # size(ids) back to each member in the same pass
