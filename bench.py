@@ -41,8 +41,9 @@ HEADLINE = [
     "chunk_docs", "bpe_pairs", "ngram_novelty", "fuzzy_dedup", "idw_grid",
     "hll_distinct",
     # r4h: prefix-filtered set-similarity join (AllPairs/PPJoin) +
-    # repeated-substring dedup spans (Lee et al. 2022)
-    "prefix_jaccard", "repeated_spans",
+    # repeated-substring dedup spans (Lee et al. 2022) + JSON
+    # schema-on-read
+    "prefix_jaccard", "repeated_spans", "json_props",
     # multimodal binary columns
     "media_meta", "media_features",
     # interleaved spans synthesis

@@ -21,7 +21,8 @@ AUDIT = ["pip_assign", "knn_snap", "tile_assign", "q3_shipping", "q5_region",
          "grouped_quantiles", "heavy_hitters", "span_seq_fp", "skyline",
          "bloom_semi_join", "triangle_count", "pagerank",
          "chunk_docs", "bpe_pairs", "ngram_novelty", "fuzzy_dedup",
-         "idw_grid", "hll_distinct", "prefix_jaccard", "repeated_spans"]
+         "idw_grid", "hll_distinct", "prefix_jaccard", "repeated_spans",
+         "json_props"]
 out = ["""# Physical plan audit
 
 Generated from `.explain`/`executedPlan` at sf0.01 (regenerate with

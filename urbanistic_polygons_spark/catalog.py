@@ -559,6 +559,38 @@ def q_prefix_jaccard_spark(spark, sf_dir):
                                 use_shingles=True)
 
 
+def q_json_props_spark(spark, sf_dir):
+    """Semi-structured surface: parse the events table's real JSON
+    `props` column with `from_json` (schema-on-read, stays inside
+    codegen — the 100 TB path for sparse event payloads where a struct
+    column would be schema churn) and aggregate the extracted field.
+    Oracle extracts with DuckDB's json_extract."""
+    register_views(spark, sf_dir)
+    ev = spark.table("events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json("props", "k INT").getField("k").alias("k"))
+    return (parsed
+            .withColumn("k_bucket", F.floor(F.col("k") / 10).cast("int"))
+            .groupBy("event_type", "k_bucket")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum("k").cast("long").alias("sum_k"),
+                 F.max("k").alias("max_k")))
+
+
+_JSON_PROPS_SQL = """
+WITH p AS (
+  SELECT event_type, CAST(json_extract(props, '$.k') AS INT) AS k
+  FROM events
+)
+SELECT event_type, CAST(k // 10 AS INT) AS k_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       MAX(k) AS max_k
+FROM p GROUP BY 1, 2
+"""
+
+
 def q_repeated_spans_spark(spark, sf_dir):
     """Corpus-level repeated-substring spans (Lee et al. 2022 shape):
     duplicated 5-gram positions merged into maximal per-doc token spans.
@@ -3310,13 +3342,11 @@ SELECT point_id, cell_id, MIN(poly_id) AS polygon_id
 FROM hits GROUP BY point_id, cell_id""", "duckdb"))
 
 
-    df_q("tile_assign", q_tile_assign_spark, _render(f"""
-WITH {PTS}, {RECTS}, {PIP_JOIN},
-c AS (SELECT cell_id, cls, COUNT(*) AS n FROM hits GROUP BY 1, 2)
-SELECT cell_id, cls AS dominant_cls, n FROM (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY cell_id ORDER BY n DESC, cls) AS rn
-  FROM c
-) WHERE rn = 1""", "duckdb"))
+    # NEW r4h: JSON schema-on-read surface enters the window in place of
+    # tile_assign (demoted to the tail: green r1-r3; its PIP candidate
+    # join stays reported via pip_assign and its dominance argmax via
+    # faces_landuse — rationale at the tail registration)
+    df_q("json_props", q_json_props_spark, _JSON_PROPS_SQL)
 
     df_q("knn_snap", q_knn_snap_spark, _render(f"""
 WITH {PTS}, {RECTS}, {PIP_JOIN},
@@ -3567,6 +3597,17 @@ FROM m GROUP BY gy, grp""")
     # -- driver-report tail: demoted redundant-evidence greens (see the
     #    rotation comments above) ------------------------------------------
     # r4h demotions — driver-green r1-r3:
+    # tile_assign: its PIP candidate join is the still-reported
+    # pip_assign's (same PTS/RECTS/PIP_JOIN fixture), and its dominance
+    # selection is the same struct-min argmax the still-reported
+    # faces_landuse uses since the r4 exchange diet
+    df_q("tile_assign", q_tile_assign_spark, _render(f"""
+WITH {PTS}, {RECTS}, {PIP_JOIN},
+c AS (SELECT cell_id, cls, COUNT(*) AS n FROM hits GROUP BY 1, 2)
+SELECT cell_id, cls AS dominant_cls, n FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY cell_id ORDER BY n DESC, cls) AS rn
+  FROM c
+) WHERE rn = 1""", "duckdb"))
     # exact_dedup_docs: the still-reported line_dedup computes the
     # identical md5-fingerprint -> groupBy -> min-winner shape (at line
     # granularity, with position packing on top), and the new reported
