@@ -44,6 +44,9 @@ HEADLINE = [
     # repeated-substring dedup spans (Lee et al. 2022) + JSON
     # schema-on-read
     "prefix_jaccard", "repeated_spans", "json_props",
+    # r4i: distributed DBSCAN (grid epsilon join + components) + SemDeDup
+    # (IVF cluster-then-dedup)
+    "dbscan", "semdedup",
     # multimodal binary columns
     "media_meta", "media_features",
     # interleaved spans synthesis
