@@ -45,8 +45,8 @@ HEADLINE = [
     # schema-on-read
     "prefix_jaccard", "repeated_spans", "json_props",
     # r4i: distributed DBSCAN (grid epsilon join + components) + SemDeDup
-    # (IVF cluster-then-dedup)
-    "dbscan", "semdedup",
+    # (IVF cluster-then-dedup) + CDC MERGE/upsert
+    "dbscan", "semdedup", "cdc_upsert",
     # multimodal binary columns
     "media_meta", "media_features",
     # interleaved spans synthesis

@@ -3318,6 +3318,62 @@ FROM sc GROUP BY cell_id
 
 
 # ---------------------------------------------------------------------------
+# CDC MERGE/upsert: events as a change stream applied onto the customer
+# dimension — last-writer-wins reduction + full-outer merge, exact oracle
+# ---------------------------------------------------------------------------
+
+def q_cdc_upsert_spark(spark, sf_dir):
+    """MERGE the events change stream (keyed user_id; 'error' = DELETE,
+    everything else = UPSERT of the integer-cents value; last writer by
+    (ts, event_id) wins) into the customer account-balance dimension."""
+    from .operators.cdc import merge_upsert
+    register_views(spark, sf_dir)
+    base = spark.table("customer").select(
+        F.col("c_custkey").cast("long").alias("cust_id"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("long")
+        .alias("acct_cents"))
+    ch = spark.table("events").select(
+        F.col("user_id").cast("long").alias("cust_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("acct_cents"))
+    return merge_upsert(base, ch, key_cols=["cust_id"],
+                        order_cols=["ts_us", "event_id"],
+                        payload_cols=["acct_cents"])
+
+
+# event_id is unique, so the oracle's (ts_us DESC, event_id DESC) window
+# tie-break provably equals the Spark side's struct-max over
+# (ts_us, event_id, payload, op) — the comparison never reaches payload.
+_CDC_UPSERT_SQL = """
+WITH base AS (
+  SELECT c_custkey AS cust_id,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acct_cents
+  FROM customer
+), ch AS (
+  SELECT user_id AS cust_id, epoch_us(ts) AS ts_us, event_id,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         CAST(ROUND(value * 100) AS BIGINT) AS acct_cents
+  FROM events
+), latest AS (
+  SELECT cust_id, op, acct_cents FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY cust_id
+                                 ORDER BY ts_us DESC, event_id DESC) AS rn
+    FROM ch
+  ) WHERE rn = 1
+)
+SELECT COALESCE(b.cust_id, l.cust_id) AS cust_id,
+       CASE WHEN l.op IS NULL THEN b.acct_cents
+            ELSE l.acct_cents END AS acct_cents,
+       CASE WHEN l.op IS NULL THEN 'base' ELSE 'upsert' END AS src
+FROM base b FULL OUTER JOIN latest l ON b.cust_id = l.cust_id
+WHERE l.op IS NULL OR l.op <> 'D'
+"""
+
+
+# ---------------------------------------------------------------------------
 # DBSCAN over the micro-coordinate point space (grid-blocked epsilon join +
 # core detection + components) — exact oracle incl. the recursive closure
 # ---------------------------------------------------------------------------
@@ -3618,7 +3674,10 @@ GROUP BY GROUPING SETS ((cls, cell_y), (cls), ())""", "duckdb"))
     # with bucket pruning — tile_pyramid demoted to the tail to make
     # room (see the rotation comment below).
     df_q("token_budget_mix", q_token_mix_spark, _TOKEN_MIX_SQL)
-    df_q("winnow_fp", q_winnow_fp_spark, _WINNOW_FP_SQL)
+    # NEW r4i: CDC MERGE/upsert (lakehouse WHEN MATCHED UPDATE/DELETE,
+    # WHEN NOT MATCHED INSERT) — winnow_fp (green r2-r3) demoted to the
+    # tail to make room; rationale at its tail registration.
+    df_q("cdc_upsert", q_cdc_upsert_spark, _CDC_UPSERT_SQL)
     # (r4h rotation: minhash_lsh_pairs — green r1-r3 — demoted to the tail
     # to keep the NEW prefix_jaccard and hll_distinct in-window; rationale
     # at its tail registration.)
@@ -3791,6 +3850,11 @@ FROM m GROUP BY gy, grp""")
     # -- driver-report tail: demoted redundant-evidence greens (see the
     #    rotation comments above) ------------------------------------------
     # r4i demotions — driver-green r1-r3:
+    # winnow_fp (green r2-r3): its rolling-hash k-gram pipeline stays
+    # reported via repeated_spans (the same portable token-gram hashing,
+    # corpus-wide) and span_seq_fp (order-sensitive sequence commit);
+    # the windowed-min selection itself remains pytest-oracle-gated
+    df_q("winnow_fp", q_winnow_fp_spark, _WINNOW_FP_SQL)
     # ngram_jaccard: its (lang, len-bucket, shingle) blocked pair
     # generation + hot-key cap is the same shape the still-reported
     # prefix_jaccard (shingle blocking + PPJoin position filter) and
