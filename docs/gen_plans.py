@@ -22,7 +22,7 @@ AUDIT = ["pip_assign", "knn_snap", "tile_assign", "q3_shipping", "q5_region",
          "bloom_semi_join", "triangle_count", "pagerank",
          "chunk_docs", "bpe_pairs", "ngram_novelty", "fuzzy_dedup",
          "idw_grid", "hll_distinct", "prefix_jaccard", "repeated_spans",
-         "json_props"]
+         "json_props", "dbscan", "semdedup", "cdc_upsert"]
 out = ["""# Physical plan audit
 
 Generated from `.explain`/`executedPlan` at sf0.01 (regenerate with
@@ -119,6 +119,21 @@ at web scale the closing join keys on (v, w) both sides and shuffles
 hash-partitioned — no adjacency list is ever collected.
 `bloom_semi_join`'s plan is the refine semi-join over the map-side
 bloom Filter (the bitmap build is a separate ≤m/64-row job).
+
+r4i additions: `dbscan`'s exchanges are the role-assignment stages, each
+corpus-proportional and therefore correctly SMJ (NOT broadcast: every
+side — points, epsilon pairs, cores, labels — scales with the corpus at
+100 TB): the grid epsilon equi-join on the cell key, the neighbor-count
+agg, the two core semi-joins, the border min-agg, and the noise
+anti-join.  The iterative component loop sits behind eager
+localCheckpoints (audited by construction like `dedup_components`).
+`semdedup` shows 2 exchanges — the per-cluster collect and the final
+keeper join — because centroid train/assign is the zero-shuffle Arrow
+argmin path shared with `embedding_ivf`.  `cdc_upsert` is the struct-max
+reduction (one partial+final agg on the key) plus the full-outer apply
+(one co-partitioned join) — a window over the change stream or a
+broadcast of the corpus-sized base would be the scale regressions to
+watch for.
 
 ## Scan pushdown evidence (pip_assign)
 
