@@ -72,6 +72,59 @@ def streaming_sessionize(docs: DataFrame,
                     "actor", "n_events"))
 
 
+MEDIA_STREAM_SCHEMA = "media_ref string, ready_time timestamp, n_bytes long"
+
+
+def stream_media(spark: SparkSession, path: str) -> DataFrame:
+    return (spark.readStream.schema(MEDIA_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 4).parquet(path))
+
+
+def streaming_media_join(docs: DataFrame, media: DataFrame,
+                         join_horizon: str = "15 minutes",
+                         watermark: str = "30 minutes") -> DataFrame:
+    """Stream-stream INNER join: a document's image spans join the
+    media-availability stream on ``media_ref``, accepting a media blob
+    that becomes ready within ``join_horizon`` AFTER the document event
+    (the ingest race: docs and their media land on separate feeds).
+
+    The canonical watermarked stream-stream join shape: BOTH sides carry
+    an event-time watermark and the join condition carries an explicit
+    event-time range, so Spark can bound the buffered state on each side
+    (docs expire ``join_horizon`` past their watermark, media expires at
+    its watermark) — without the range, state grows forever.  Output:
+    one row per (doc image span x ready media) match, append-mode safe.
+    """
+    d = (docs.withWatermark("event_time", watermark)
+         .select("doc_id", "event_time", F.explode("spans").alias("span"))
+         .filter(F.col("span.kind") == "image")
+         .select("doc_id", "event_time",
+                 F.col("span.media_ref").alias("media_ref")))
+    m = media.withWatermark("ready_time", watermark)
+    cond = ((d["media_ref"] == m["media_ref"])
+            & (m["ready_time"] >= d["event_time"])
+            & (m["ready_time"] <= d["event_time"]
+               + F.expr(f"INTERVAL {join_horizon}")))
+    return (d.join(m, cond, "inner")
+            .select("doc_id", d["media_ref"].alias("media_ref"),
+                    "event_time", "ready_time", "n_bytes"))
+
+
+def run_media_join_to_memory(spark: SparkSession, docs_path: str,
+                             media_path: str,
+                             query_name: str = "media_join",
+                             join_horizon: str = "15 minutes"):
+    """Drive the stream-stream join synchronously (test/smoke harness)."""
+    out = streaming_media_join(stream_documents(spark, docs_path),
+                               stream_media(spark, media_path),
+                               join_horizon=join_horizon)
+    q = (out.writeStream.outputMode("append")
+         .format("memory").queryName(query_name).start())
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 def _duration_ms(text: str) -> int:
     n, unit = text.split()
     mult = {"millisecond": 1, "second": 1000, "minute": 60_000,
