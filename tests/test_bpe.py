@@ -1,0 +1,77 @@
+"""BPE merge learning vs an independent pure-Python reference — same
+corpus, merge-by-merge equality (order, pair, count), plus the
+leftmost-nonoverlap fold on adversarial repeats."""
+from pyspark.sql import functions as F
+
+from urbanistic_polygons_spark.operators.bpe import (
+    _merge_fold, learn_bpe, segment_words, word_freqs)
+
+
+def _ref_bpe(word_freq: dict[str, int], n_merges: int):
+    """Reference BPE (dict loop, no Spark): returns [(left, right, cnt)]."""
+    vocab = {w: list(w) + ["</w>"] for w in word_freq}
+    merges = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in vocab.items():
+            f = word_freq[w]
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = counts.get(
+                    (syms[i], syms[i + 1]), 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        if cnt < 2:
+            break
+        merges.append((a, b, cnt))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+CORPUS = [("low " * 5 + "lower " * 2 + "newest " * 6 + "widest " * 3),
+          ("low newest banana bananas banana"),
+          ("aaaa aaaa aa ab abab ababab")]
+
+
+def test_learn_bpe_matches_reference(spark):
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(CORPUS)],
+                                 "doc_id long, text string")
+    wf = {}
+    for t in CORPUS:
+        for w in t.split():
+            wf[w] = wf.get(w, 0) + 1
+    ref, ref_vocab = _ref_bpe(wf, 10)
+    got = [(r["left"], r["right"], r["cnt"])
+           for r in learn_bpe(docs, n_merges=10).orderBy("step").collect()]
+    assert got == ref
+    assert len(got) == 10  # this corpus supports 10 productive merges
+
+
+def test_word_freqs_and_segmentation_roundtrip(spark):
+    docs = spark.createDataFrame([(0, "ab ab ba")], "doc_id long, text string")
+    wf = {r["word"]: r["freq"] for r in word_freqs(docs).collect()}
+    assert wf == {"ab": 2, "ba": 1}
+    seg = {r["word"]: r["segmentation"]
+           for r in segment_words(word_freqs(docs)).collect()}
+    assert seg == {"ab": "a b </w>", "ba": "b a </w>"}
+
+
+def test_merge_fold_leftmost_nonoverlap(spark):
+    # 'aaa' with merge (a,a) must become [aa, a], never [a, aa] or [aa, aa]
+    df = spark.createDataFrame(
+        [(["a", "a", "a"],), (["a", "a", "a", "a"],),
+         (["b", "a", "a"],), (["a", "b", "a"],), ([],)],
+        "syms array<string>")
+    fold = _merge_fold("a", "a")
+    got = [r["m"] for r in df.select(fold(F.col("syms")).alias("m")).collect()]
+    assert got == [["aa", "a"], ["aa", "aa"], ["b", "aa"], ["a", "b", "a"], []]
