@@ -94,3 +94,37 @@ def test_hll_estimate_accuracy_and_invariance(spark):
     assert 0 < got["small"][3] <= 5 * 40
     # registers bounded by m
     assert got["big"][1] <= 64 and got["small"][1] <= 64
+
+
+def test_cms_guarantee_and_exactness(spark):
+    """CM one-sided guarantee: cnt <= est <= cnt + n/w per row (d rows of
+    min tighten it); on a stream wider than w the sketch must actually
+    collide (err > 0 somewhere) yet never undercount."""
+    from pyspark.sql import functions as F
+    from urbanistic_polygons_spark.operators.sketches import (
+        CMS_W, cms_estimates, cms_table)
+    tokens = []
+    for i in range(40):
+        tokens += [f"hot{i}"] * (500 // (i + 1))
+    tokens += [f"tail{j}" for j in range(3 * CMS_W)]  # force collisions
+    df = spark.createDataFrame([(t,) for t in tokens], ["token"])
+    out = cms_estimates(df, probe_mod=5).toPandas()
+    n = len(tokens)
+    assert len(out) > 10
+    assert (out.err >= 0).all()                      # never undercounts
+    assert (out.est <= out.cnt + n // CMS_W * 4).all()  # loose upper bound
+    exact = collections.Counter(tokens)
+    assert all(exact[r.token] == r.cnt for r in out.itertuples())
+    # the 4x512 table is bounded regardless of input size
+    assert cms_table(df).count() <= 4 * CMS_W
+
+
+def test_cms_partitioning_invariance(spark):
+    """The table (and therefore every estimate) is a pure function of the
+    input multiset — repartitioning must not change a single cell."""
+    from urbanistic_polygons_spark.operators.sketches import cms_table
+    tokens = [(f"t{i % 97}",) for i in range(2000)]
+    df = spark.createDataFrame(tokens, ["token"])
+    a = {(r.r, r.b): r.c for r in cms_table(df.repartition(1)).collect()}
+    b = {(r.r, r.b): r.c for r in cms_table(df.repartition(16)).collect()}
+    assert a == b and len(a) > 0

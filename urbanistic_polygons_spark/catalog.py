@@ -3262,6 +3262,50 @@ FROM e JOIN s ON e.o_orderstatus = s.o_orderstatus
 """
 
 
+def q_cms_counts_spark(spark, sf_dir):
+    """Count-min sketch point-frequency estimates over the shingle key
+    space (operators/sketches.py::cms_estimates — the third mergeable
+    sketch next to Misra-Gries and HLL): the 4x512 table is built in ONE
+    partially-aggregable pass (shuffle <= partitions x 2048 cell rows,
+    never the distinct-shingle set), broadcasts to a deterministic probe
+    subset of the distinct shingles, and est = min over the 4 row-salted
+    portable-hash cells.  cnt (exact, one filtered pass) and
+    err = est - cnt >= 0 ride along, so the one-sided CM guarantee is
+    itself part of the hash-compared output."""
+    from .operators.dedup import _exploded_shingles
+    from .operators.sketches import cms_estimates
+    register_views(spark, sf_dir)
+    sh = (_exploded_shingles(spark.table("documents"), "doc_id", "text")
+          .select(F.col("sh").alias("token")))
+    return cms_estimates(sh, probe_mod=31)
+
+
+_H31CMS = "CAST(('0x' || substr(md5({x}), 1, 8)) AS BIGINT) % 2147483647"
+
+_CMS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), ex AS (
+  -- per-doc DISTINCT shingles: mirrors shingles_of_tokens' array_distinct
+  SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS token FROM toks
+), cells AS (
+  SELECT r, ({_H31CMS.format(x="'cms' || r || ':' || token")}) % 512 AS b,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM ex, range(4) t(r) GROUP BY 1, 2
+), probes AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM ex
+  WHERE ({_H31CMS.format(x="'cmsprobe:' || token")}) % 31 = 0
+  GROUP BY 1
+)
+SELECT p.token, CAST(MIN(c.c) AS BIGINT) AS est, MIN(p.cnt) AS cnt,
+       CAST(MIN(c.c) - MIN(p.cnt) AS BIGINT) AS err
+FROM probes p CROSS JOIN range(4) t(r)
+JOIN cells c ON c.r = t.r
+ AND c.b = ({_H31CMS.format(x="'cms' || t.r || ':' || p.token")}) % 512
+GROUP BY 1
+"""
+
+
 def q_idw_grid_spark(spark, sf_dir):
     """Inverse-distance-weighted raster interpolation over the micro
     space: each point scatters into its 3x3 cell halo MAP-SIDE (a 9-row
@@ -3701,13 +3745,16 @@ GROUP BY GROUPING SETS ((cls, cell_y), (cls), ())""", "duckdb"))
     df_q("embedding_near_dup", q_embedding_near_dup_spark,
          _emb_near_dup_sql())
 
+    # NEW r4j: count-min sketch — registered in-window in place of
+    # faces_grid (demoted to the tail: green r1-r3, and its face-extraction
+    # exactness is composed end-to-end by the still-reported faces_landuse
+    # and tile_serve_pyramid; the closed-form lattice oracle stays
+    # pytest-gated, see its tail registration)
+    df_q("cms_counts", q_cms_counts_spark, _CMS_SQL)
+
     # -- face / landuse / tile pipeline (rows-only: sequential half-edge
     #    walk inside applyInPandas is not SQL-expressible; exactness covered
     #    by the pytest oracle suite)
-    # faces pipeline: faces_grid is oracle-exact (closed-form lattice
-    # reconstruction; ring cycles canonicalized to sorted vertex sets —
-    # cycle order + UUIDv5 guids are walk-internal and pinned by pytest).
-    df_q("faces_grid", q_faces_grid_spark, _FACES_GRID_SQL)
     # faces_landuse: the real float clip kernel over quarter-step-aligned
     # landuse rects -> exact integer-permyriad dominance oracle
     df_q("faces_landuse", q_faces_landuse_spark, _FACES_LANDUSE_SQL)
@@ -3933,6 +3980,14 @@ GROUP BY a.cell_id""", "duckdb"))
     # exact z12 oracle) and landuse_serve (E3 layer encode), and the wire
     # bytes stay pytest-parsed in tests/test_landuse_sinks_misc.py
     df_q("mvt_tiles", q_mvt_tiles_spark, _MVT_TILES_SQL)
+    # faces_grid (demoted for the promoted cms_counts, r4j): green r1-r3;
+    # the face-extraction pipeline it evidences (P1-P7) is composed
+    # end-to-end by the still-reported faces_landuse (ingest -> faces ->
+    # clip -> dominance, exact permyriad oracle) and tile_serve_pyramid
+    # (faces -> GUID dedup -> MVT, exact z12 oracle); the closed-form
+    # lattice-reconstruction oracle stays pytest-gated
+    # (tests/test_catalog_oracle.py runs ALL entries, uncapped).
+    df_q("faces_grid", q_faces_grid_spark, _FACES_GRID_SQL)
     # r4f demotions — all driver-green in 2-3 prior rounds:
     # overlap_area (green r1-r3): its integer clip arithmetic is composed
     # end-to-end by the still-reported faces_landuse (float clip kernel,

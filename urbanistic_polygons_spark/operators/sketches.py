@@ -176,3 +176,75 @@ def hll_distinct(df: DataFrame, key_col: str,
     return (exact.join(hll, group_cols)
             .select(*group_cols, "n_exact", "n_buckets", "s_scaled",
                     "hll_est"))
+
+
+# -- Count-min sketch --------------------------------------------------------
+# The third classic mergeable sketch (Cormode & Muthukrishnan, J.Alg'05):
+# point-frequency estimation over a key space too large to shuffle.  Unlike
+# Misra-Gries (which keeps only the top-k survivors) the CM table answers
+# est(x) for ANY x after the fact, with the one-sided guarantee
+# cnt(x) <= est(x) <= cnt(x) + e*n/w (w buckets, probability 1 - 2^-d).
+# Buckets come from the repo's portable md5 hash, so the whole table —
+# and therefore every estimate — is bit-for-bit reproducible in the DuckDB
+# oracle, unlike a sketch built on engine-internal hashing.
+
+CMS_D = 4                       # depth: 4 independent hash rows
+CMS_W = 512                     # width: e*n/512 overcount bound per row
+
+
+def cms_buckets(token: F.Column, d: int = CMS_D, w: int = CMS_W) -> F.Column:
+    """Array of the token's d row-salted portable buckets (row r uses
+    hash31('cms<r>:' || token) mod w — same literal salt in the oracle)."""
+    return F.array(*[
+        F.pmod(X.hash31(F.concat(F.lit(f"cms{r}:"), token)), F.lit(w))
+        for r in range(d)])
+
+
+def cms_table(toks: DataFrame, token_col: str = "token",
+              d: int = CMS_D, w: int = CMS_W) -> DataFrame:
+    """-> (r, b, c): the d x w count-min table.  ONE pass: every token
+    occurrence increments d cells via posexplode; the groupBy is
+    partially aggregable, so the shuffle carries at most
+    partitions x d x w cell rows no matter the corpus size, and the
+    result is a pure function of the input multiset (merge two corpora =
+    sum their tables cell-wise)."""
+    tok = F.col(token_col)
+    # posexplode_outer, not posexplode: the bucket array is never
+    # null/empty, and plain explode lets InferFiltersFromGenerate push an
+    # inlined copy of the d-hash generator into an interpreted Filter
+    # (repo rule)
+    return (toks.filter(tok.isNotNull())
+            .select(F.posexplode_outer(cms_buckets(tok, d, w))
+                    .alias("r", "b"))
+            .groupBy("r", "b").agg(F.count("*").cast("long").alias("c")))
+
+
+def cms_estimates(toks: DataFrame, token_col: str = "token",
+                  d: int = CMS_D, w: int = CMS_W,
+                  probe_mod: int = 11) -> DataFrame:
+    """-> (token, est, cnt, err) for a deterministic probe subset of the
+    distinct tokens (those with hash31('cmsprobe:'||token) % probe_mod
+    == 0): est = min over the d rows of the token's cell, cnt = exact
+    count (one filtered counting pass — the same sketch-then-verify shape
+    as heavy_hitters), err = est - cnt (>= 0 by the CM guarantee; the
+    invariant is asserted in tests and visible in the output).
+
+    Scale shape: two corpus scans (table pass + filtered probe pass);
+    the d x w table (<= 2048 rows) broadcasts to the probe side; nothing
+    shuffles the distinct-key set."""
+    tok = F.col(token_col)
+    cells = cms_table(toks, token_col, d, w)
+    probes = (toks.filter(tok.isNotNull())
+              .filter(F.pmod(X.hash31(F.concat(F.lit("cmsprobe:"), tok)),
+                             F.lit(probe_mod)) == 0)
+              .groupBy(tok.alias("token"))
+              .agg(F.count("*").cast("long").alias("cnt")))
+    probed = (probes
+              .select("token", "cnt",
+                      F.posexplode_outer(cms_buckets(F.col("token"), d, w))
+                      .alias("r", "b"))
+              .join(F.broadcast(cells), ["r", "b"]))
+    return (probed.groupBy("token")
+            .agg(F.min("cnt").alias("cnt"), F.min("c").alias("est"))
+            .select("token", "est", "cnt",
+                    (F.col("est") - F.col("cnt")).alias("err")))
