@@ -22,7 +22,7 @@ AUDIT = ["pip_assign", "knn_snap", "tile_assign", "q3_shipping", "q5_region",
          "bloom_semi_join", "triangle_count", "pagerank",
          "chunk_docs", "bpe_pairs", "ngram_novelty", "fuzzy_dedup",
          "idw_grid", "hll_distinct", "prefix_jaccard", "repeated_spans",
-         "json_props", "dbscan", "semdedup", "cdc_upsert"]
+         "json_props", "dbscan", "semdedup", "cdc_upsert", "cms_counts"]
 out = ["""# Physical plan audit
 
 Generated from `.explain`/`executedPlan` at sf0.01 (regenerate with
@@ -134,6 +134,15 @@ reduction (one partial+final agg on the key) plus the full-outer apply
 (one co-partitioned join) — a window over the change stream or a
 broadcast of the corpus-sized base would be the scale regressions to
 watch for.
+
+r4j: `cms_counts` is the sketch-then-verify shape — 3 exchanges total:
+the d x w cell aggregation (partial-aggregable, shuffle bounded at
+partitions x 2048 cell rows regardless of corpus size), the filtered
+probe count, and the final per-token min; the 2048-row table correctly
+BROADCASTS to the probe side (the one broadcast in the plan).  A
+distinct-key shuffle of the shingle space would be the scale
+regression to watch for — the whole point of the sketch is that it
+never happens.
 
 ## Scan pushdown evidence (pip_assign)
 
