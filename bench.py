@@ -47,6 +47,8 @@ HEADLINE = [
     # r4i: distributed DBSCAN (grid epsilon join + components) + SemDeDup
     # (IVF cluster-then-dedup) + CDC MERGE/upsert
     "dbscan", "semdedup", "cdc_upsert",
+    # r4j: count-min sketch point-frequency estimates (shingle key space)
+    "cms_counts",
     # multimodal binary columns
     "media_meta", "media_features",
     # interleaved spans synthesis
