@@ -2584,7 +2584,12 @@ SELECT doc_id, CAST({val} AS BIGINT) AS simhash FROM bits
 _SHINGLES = """CASE WHEN len(t) >= 3
   THEN list_transform(range(1, CAST(len(t) - 1 AS BIGINT)),
                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-  ELSE [array_to_string(t, ' ')] END"""
+  ELSE [COALESCE(array_to_string(t, ' '), '')] END"""
+# ^ COALESCE: DuckDB's array_to_string([], ' ') is NULL while Spark's
+# concat_ws(' ', []) is '' — without it a zero-token doc shingles to a
+# NULL bucket on the oracle side (NULL never equi-joins) but to the ''
+# "empty document" shingle in Spark, silently dropping empty-doc pairs
+# from every oracle.  Caught by tests/test_oracle_random_corpus.py.
 
 
 def _minhash_sql(k: int = 8) -> str:

@@ -118,10 +118,14 @@ def winnow_from_hashes(hs: Column, k: int = 3, w: int = 4) -> Column:
         lambda i: (hs[i] * F.lit(b2) + hs[i + F.lit(1)] * F.lit(WINNOW_B)
                    + hs[i + F.lit(2)]) % F.lit(WINNOW_P))
     # < k tokens: single-hash fallback; zero-token docs yield an EMPTY
-    # array (hs[0] on [] is null — left in, it would survive
-    # array_distinct and emit a null fp row, while DuckDB's list_distinct
-    # strips NULLs and emits nothing; ADVICE r2)
-    short = F.filter(F.array(hs[0]), lambda v: v.isNotNull())
+    # array.  Element access MUST be F.get (null on out-of-bounds):
+    # under Spark 4's default ANSI mode hs[0] on [] RAISES
+    # INVALID_ARRAY_INDEX — CaseWhen is lazy per row, so the sf corpus
+    # (no short docs) never hit it; the randomized-corpus oracle gate
+    # (tests/test_oracle_random_corpus.py) did.  The null is filtered so
+    # zero-token docs emit nothing, matching DuckDB's list_distinct
+    # NULL-stripping (ADVICE r2).
+    short = F.filter(F.array(F.get(hs, 0)), lambda v: v.isNotNull())
     return F.when(F.size(hs) >= k, grams).otherwise(short)
 
 
