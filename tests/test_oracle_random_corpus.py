@@ -33,6 +33,11 @@ DOC_QUERIES = [
     "exact_dedup_docs", "minhash_lsh_pairs", "dedup_components",
     "ngram_jaccard", "prefix_jaccard", "repeated_spans", "heavy_hitters",
     "cms_counts", "winnow_fp", "chunk_docs", "ngram_novelty", "text_stats",
+    "simhash", "minhash_sig", "fuzzy_dedup", "repetition_ratio",
+    "line_dedup", "pii_redact", "bpe_pairs", "pack_sequences",
+    "tfidf_topk", "ngram_decontam", "token_budget_mix", "lang_id",
+    "quality_score", "span_seq_fp", "spans_explode", "stratified_sample",
+    "cross_source_overlap", "weighted_sample",
 ]
 # queries whose result must be non-empty on every generated corpus (the
 # generator plants exact duplicates and hot tokens); pair-finding queries

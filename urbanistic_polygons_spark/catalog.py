@@ -2846,7 +2846,12 @@ WITH toks AS (
   FROM toks
 ), text_spans AS (
   SELECT doc_id, i * 10 AS span_offset, 'text' AS kind,
-         array_to_string(t[(i*8+1):(i*8+8)], ' ') AS content, '' AS media_ref
+         -- COALESCE: array_to_string on the empty slice of a zero-token
+         -- doc is NULL in DuckDB but '' via Spark's concat_ws (same class
+         -- as the _SHINGLES divergence; caught by the randomized-corpus
+         -- gate) — the span content convention is '', never NULL
+         COALESCE(array_to_string(t[(i*8+1):(i*8+8)], ' '), '') AS content,
+         '' AS media_ref
   FROM chunks
 ), img_spans AS (
   SELECT doc_id, i * 10 + 5, 'image', '',
@@ -3203,8 +3208,13 @@ WITH aug AS (
   SELECT doc_id + 1000000, lang,
          substr(text, 1, length(text) - LEAST(8, GREATEST(length(text)-1, 0)))
   FROM documents
-), d AS (SELECT doc_id, lang, lower(text) AS t, length(text) // 64 AS blk
-         FROM aug),
+), -- codepoint-class fold mirrors edit_distance_pairs: non-ASCII -> '#'
+   -- (DuckDB levenshtein counts BYTES, Spark counts CODEPOINTS; folding
+   -- makes byte == codepoint so the oracle is exact on any corpus)
+d AS (SELECT doc_id, lang,
+             regexp_replace(lower(text), '[^\x20-\x7e]', '#', 'g') AS t,
+             length(text) // 64 AS blk
+      FROM aug),
 grp AS (SELECT lang, blk FROM d GROUP BY lang, blk
         HAVING COUNT(*) BETWEEN 2 AND 64),
 pairs AS (

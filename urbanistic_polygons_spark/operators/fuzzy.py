@@ -38,12 +38,23 @@ def edit_distance_pairs(docs: DataFrame, id_col: str = "doc_id",
                         max_group: int = 64,
                         observation=None) -> DataFrame:
     """(doc_a, doc_b, lev) for every same-block pair with Levenshtein
-    distance <= ``max_dist`` over lowercased text; doc_a < doc_b."""
+    distance <= ``max_dist`` over lowercased, codepoint-class-folded
+    text; doc_a < doc_b.
+
+    Non-ASCII codepoints fold to one '#' class before the distance.
+    This is the standard accent-insensitive fuzzy-match convention,
+    biased toward RECALL (folded chars can only lower a distance, so
+    candidate pairs are never lost), it keeps the whole comparison on
+    the JVM banded-DP fast path, and it makes byte == codepoint, so
+    DuckDB's byte-oriented ``levenshtein`` agrees with Spark's
+    codepoint-oriented one on ANY corpus (they diverge on raw accents —
+    caught by tests/test_oracle_random_corpus.py)."""
     base = docs.select(
         F.col(id_col),
         F.col(lang_col).alias("blk_lang"),
         F.floor(F.length(text_col) / F.lit(len_bucket)).alias("blk_len"),
-        F.lower(F.col(text_col)).alias("t"),
+        F.regexp_replace(F.lower(F.col(text_col)),
+                         r"[^\x20-\x7e]", "#").alias("t"),
     )
     grouped = (base.groupBy("blk_lang", "blk_len")
                .agg(F.array_sort(F.collect_list(
