@@ -580,7 +580,14 @@ def q_json_props_spark(spark, sf_dir):
 
 _JSON_PROPS_SQL = """
 WITH p AS (
-  SELECT event_type, CAST(json_extract(props, '$.k') AS INT) AS k
+  -- json_valid guard: schema-on-read is LENIENT — Spark's from_json
+  -- yields NULL fields on malformed/empty payloads (PERMISSIVE mode),
+  -- while DuckDB's json_extract RAISES; the guard pins the lenient
+  -- contract (caught by tests/test_oracle_random_events.py)
+  SELECT event_type,
+         CASE WHEN json_valid(props)
+              THEN CAST(json_extract(props, '$.k') AS INT)
+              ELSE NULL END AS k
   FROM events
 )
 SELECT event_type, CAST(k // 10 AS INT) AS k_bucket,
