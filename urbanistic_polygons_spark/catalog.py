@@ -3600,7 +3600,10 @@ WITH RECURSIVE emb AS (
   JOIN cl ON l.list_id = cl.list_id
 ), nd AS (
   SELECT id_a, id_b FROM p
-  WHERE dot > 0 AND dot * dot * 100 >= 81 * na * nb
+  -- HUGEINT mirrors the Spark side's decimal(38,0): the int64 cross
+  -- multiplication overflows once quantized norms pass ~38k
+  WHERE dot > 0 AND CAST(dot AS HUGEINT) * dot * 100
+                    >= CAST(81 AS HUGEINT) * na * nb
 ), sym AS (
   SELECT id_a AS src, id_b AS dst FROM nd
   UNION

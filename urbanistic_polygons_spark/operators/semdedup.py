@@ -76,10 +76,19 @@ def semantic_dup_pairs(assigned: DataFrame, t_num: int, t_den: int,
         F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"),
         pair_dot(F.col("p.qa"), F.col("p.qb")).alias("dot"),
         na.alias("na"), nb.alias("nb"))
+    # the exact cosine cross-multiplication dot^2*t_den^2 >= t_num^2*na*nb
+    # overflows int64 once quantized norms pass ~38k (int64^(1/4) head
+    # room; caught by tests/test_oracle_random_embeddings.py's 40x
+    # outlier vectors) — decimal(38,0) keeps it EXACT for quantized
+    # coords up to ~1e6 (raw magnitude ~1000); the oracle mirrors with
+    # HUGEINT
+    dec = "decimal(38,0)"
     return (scored
             .filter((F.col("dot") > 0)
-                    & (F.col("dot") * F.col("dot") * F.lit(t_den * t_den)
-                       >= F.lit(t_num * t_num) * F.col("na") * F.col("nb")))
+                    & (F.col("dot").cast(dec) * F.col("dot").cast(dec)
+                       * F.lit(t_den * t_den).cast(dec)
+                       >= F.lit(t_num * t_num).cast(dec)
+                       * F.col("na").cast(dec) * F.col("nb").cast(dec)))
             .select("id_a", "id_b"))
 
 
