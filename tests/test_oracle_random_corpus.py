@@ -37,14 +37,14 @@ DOC_QUERIES = [
     "line_dedup", "pii_redact", "bpe_pairs", "pack_sequences",
     "tfidf_topk", "ngram_decontam", "token_budget_mix", "lang_id",
     "quality_score", "span_seq_fp", "spans_explode", "stratified_sample",
-    "cross_source_overlap", "weighted_sample",
+    "cross_source_overlap", "weighted_sample", "gopher_rules",
 ]
 # queries whose result must be non-empty on every generated corpus (the
 # generator plants exact duplicates and hot tokens); pair-finding queries
 # may legitimately return zero pairs on an unlucky seed, so for those the
 # check is equality only.
 MUST_BE_NONEMPTY = {"exact_dedup_docs", "heavy_hitters", "cms_counts",
-                    "chunk_docs", "text_stats"}
+                    "chunk_docs", "text_stats", "gopher_rules"}
 
 VOCAB = ["table", "row", "scan", "hash", "merge", "spark", "query",
          "café", "naïve", "end.", "mid,dle", "a", "zz",

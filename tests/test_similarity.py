@@ -3,8 +3,10 @@ approximate the exact brute-force ranking, not just run."""
 
 from pyspark.sql import functions as F
 
+import numpy as np
+
 from urbanistic_polygons_spark.operators.similarity import (
-    ann_topk, brute_force_topk, ivf_topk)
+    ann_topk, brute_force_topk, ivf_topk, pq_topk, quantized)
 
 SF = "/root/testdata/sf0.001"
 QUERIES = list(range(8))
@@ -46,6 +48,46 @@ def test_lsh_ann_subset_of_corpus(spark):
         F.max("rank").alias("mx"), F.count("*").alias("c")).filter(
         F.col("mx") != F.col("c"))
     assert bad.count() == 0
+
+
+def test_pq_adc_beats_random_and_is_dense(spark):
+    """PQ-ADC is lossy by design, but with 4x16-dim subspaces and 8
+    codewords it must rank far better than chance: random top-5 of ~1000
+    vectors would overlap the exact top-5 with probability ~0.5%; require
+    >= 20% recall.  Ranks must be dense 1..k per query."""
+    emb = _emb(spark)
+    exact = brute_force_topk(emb, QUERIES, k=5)
+    pq = pq_topk(emb, QUERIES, k=5, m=4, ksub=8)
+    assert _recall(pq, exact) >= 0.2
+    bad = pq.groupBy("query_id").agg(
+        F.max("rank").alias("mx"), F.count("*").alias("c")).filter(
+        F.col("mx") != F.col("c"))
+    assert bad.count() == 0
+
+
+def test_pq_adc_score_matches_numpy_reconstruction(spark):
+    """The ADC score of every reported (query, neighbor) pair must equal
+    the exact integer dot of the query vector with the neighbor's
+    RECONSTRUCTED (codebook-decoded) vector — the defining PQ identity,
+    recomputed independently in numpy from raw parquet."""
+    from urbanistic_polygons_spark.operators.similarity import (
+        _pq_encode, pq_train)
+    emb = _emb(spark)
+    base = emb.select("vec_id", quantized(F.col("embedding")).alias("q"))
+    (ids, books), dsub = pq_train(base, m=4, ksub=8)
+    enc = {r["vec_id"]: list(r["codes"])
+           for r in _pq_encode(base, ids, books, 4, dsub, "vec_id")
+           .collect()}
+    Q = {r["vec_id"]: np.array(list(r["q"]), dtype=np.int64)
+         for r in base.filter(F.col("vec_id") < 8).collect()}
+    out = pq_topk(emb, QUERIES, k=5, m=4, ksub=8).collect()
+    assert len(out) == len(QUERIES) * 5
+    for r in out:
+        codes = enc[r["neighbor_id"]]
+        recon = np.concatenate([
+            books[j][int(np.searchsorted(ids[j], codes[j]))]
+            for j in range(4)])
+        assert int(Q[r["query_id"]] @ recon) == r["dot"], r
 
 
 def test_brute_force_topk_no_matching_queries(spark):

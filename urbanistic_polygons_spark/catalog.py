@@ -333,6 +333,64 @@ WHERE LEAST(a.x1, b.x1) > GREATEST(a.x0, b.x0)
 """
 
 
+def q_areal_interp_spark(spark, sf_dir):
+    """Area-weighted areal interpolation (Goodchild & Lam 1980): transfer
+    a source-zone attribute onto the target grid in proportion to exact
+    integer overlap area — per (rect, cell): pop * |rect ∩ cell| / |rect|,
+    floored per term so both engines sum identical integers.
+
+    Engine plan: the covering-cell explode (_rect_cells — the same tiled
+    index every PIP join broadcasts) computes each term MAP-SIDE; the
+    only shuffle is the final (cell, cls) aggregation, whose partial agg
+    reduces map-side.  At 100 TB the explode fan-out is bounded by rect
+    extent and the agg keys by the grid — no join at all."""
+    return (_areal_terms(spark, sf_dir)
+            .groupBy("cell_id", "cls")
+            .agg(F.count("*").alias("n_rects"),
+                 F.sum("term").alias("interp_cents")))
+
+
+def _areal_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(rect, cell) floored transfer terms — the map-side body of
+    areal_interp, exposed so the conservation property (per-rect term
+    sums bracket pop_cents) is testable pre-aggregation."""
+    rects = _rects_df(spark, sf_dir).withColumn(
+        "pop_cents", (F.col("poly_id") * 97) % 90000 + 10000)
+    cov = _rect_cells(rects)
+    gx = (F.col("cell_id") % 16384 - 8300) * 10000
+    gy = (F.expr("cell_id DIV 16384") - 5447) * 10000
+    return (cov.withColumns({
+        "ow": F.least(F.col("x1"), gx + 10000) - F.greatest(F.col("x0"), gx),
+        "oh": F.least(F.col("y1"), gy + 10000) - F.greatest(F.col("y0"), gy),
+        "area": (F.col("x1") - F.col("x0")) * (F.col("y1") - F.col("y0")),
+    }).filter((F.col("ow") > 0) & (F.col("oh") > 0))
+        .withColumn("term", F.expr("(pop_cents * ow * oh) DIV area")))
+
+
+_AREAL_SQL = _render(f"""
+WITH {RECTS},
+r2 AS (
+  SELECT poly_id, cls, x0, y0, x1, y1,
+         (poly_id * 97) % 90000 + 10000 AS pop_cents,
+         (x1 - x0) * (y1 - y0) AS area
+  FROM rects
+), cx AS (
+  SELECT r2.*, unnest(range(x0 {{D}} 10000, x1 {{D}} 10000 + 1)) AS gx FROM r2
+), cxy AS (
+  SELECT cx.*, unnest(range(y0 {{D}} 10000, y1 {{D}} 10000 + 1)) AS gy FROM cx
+), ov AS (
+  SELECT (gy + 5447) * 16384 + (gx + 8300) AS cell_id, cls,
+         LEAST(x1, gx * 10000 + 10000) - GREATEST(x0, gx * 10000) AS ow,
+         LEAST(y1, gy * 10000 + 10000) - GREATEST(y0, gy * 10000) AS oh,
+         pop_cents, area
+  FROM cxy
+)
+SELECT cell_id, cls, COUNT(*) AS n_rects,
+       CAST(SUM((pop_cents * ow * oh) {{D}} area) AS BIGINT) AS interp_cents
+FROM ov WHERE ow > 0 AND oh > 0
+GROUP BY cell_id, cls""", "duckdb")
+
+
 def q_salted_agg_spark(spark, sf_dir):
     """Two-phase salted aggregation (north_rule skew pattern): hot cells
     are split across 8 salted partial-agg keys, then merged.  The oracle
@@ -800,6 +858,75 @@ SELECT query_id, neighbor_id, dot, CAST(rank AS INT) AS rank FROM (
 """
 
 
+def q_pq_topk_spark(spark, sf_dir):
+    from .operators.similarity import pq_topk
+    register_views(spark, sf_dir)
+    return pq_topk(spark.table("embeddings"), query_ids=list(range(8)),
+                   k=5, m=4, ksub=8)
+
+
+# PQ-ADC (Jegou et al. 2011, non-residual): per-subspace integer codebooks
+# (seeds = lowest-id subvectors, one floored-mean Lloyd step, int64 L2
+# argmin with code-id tie-break), ADC scoring via per-query integer LUTs —
+# every step integer arithmetic, so the approximate ranking itself is
+# oracle-exact.  m=4 subspaces x dsub=16 dims, ksub=8 codewords.
+_PQ_TOPK_SQL = """
+WITH b AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+  FROM embeddings
+), sub AS (
+  SELECT vec_id, j, v[CAST(j*16+1 AS BIGINT):CAST(j*16+16 AS BIGINT)] AS sv
+  FROM b CROSS JOIN (SELECT unnest(range(0, 4)) AS j)
+), c0 AS (
+  SELECT j, vec_id AS code, sv AS c FROM sub WHERE vec_id < 8
+), a0 AS (
+  SELECT vec_id, j, sv, code FROM (
+    SELECT sub.vec_id, sub.j, sub.sv, c0.code,
+           ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.j ORDER BY
+             list_sum(list_transform(range(1, 17),
+               i -> (sub.sv[i] - c0.c[i]) * (sub.sv[i] - c0.c[i]))), c0.code)
+             AS rn
+    FROM sub JOIN c0 USING (j)) WHERE rn = 1
+), ex AS (
+  SELECT j, code, unnest(range(1, 17)) AS dim, unnest(sv) AS val FROM a0
+), cm AS (
+  SELECT j, code, dim,
+         CAST(FLOOR(SUM(val) * 1.0 / COUNT(*)) AS BIGINT) AS m
+  FROM ex GROUP BY j, code, dim
+), c1 AS (
+  SELECT j, code, list(m ORDER BY dim) AS c FROM cm GROUP BY j, code
+), enc AS (
+  SELECT vec_id, j, code FROM (
+    SELECT sub.vec_id, sub.j, c1.code,
+           ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.j ORDER BY
+             list_sum(list_transform(range(1, 17),
+               i -> (sub.sv[i] - c1.c[i]) * (sub.sv[i] - c1.c[i]))), c1.code)
+             AS rn
+    FROM sub JOIN c1 USING (j)) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, j, sv AS qsv FROM sub WHERE vec_id < 8
+), lut AS (
+  SELECT q.query_id, c1.j, c1.code,
+         CAST(list_sum(list_transform(range(1, 17),
+           i -> q.qsv[i] * c1.c[i])) AS BIGINT) AS d
+  FROM q JOIN c1 USING (j)
+), s AS (
+  SELECT lut.query_id, enc.vec_id AS neighbor_id,
+         CAST(SUM(lut.d) AS BIGINT) AS dot
+  FROM enc JOIN lut ON enc.j = lut.j AND enc.code = lut.code
+  WHERE enc.vec_id <> lut.query_id
+  GROUP BY lut.query_id, enc.vec_id
+)
+SELECT query_id, neighbor_id, dot, CAST(rank AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY dot DESC, neighbor_id) AS rank
+  FROM s
+) WHERE rank <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # Interleaved spans synthesis + reconstruction (the input_hint table shape)
 # ---------------------------------------------------------------------------
@@ -1141,6 +1268,24 @@ def q_repetition_spark(spark, sf_dir):
                  F.max("c").cast("long").alias("top_count"))
             .withColumn("dup_permille", F.expr(
                 "CAST((1000 * (n_grams - n_distinct)) DIV n_grams AS LONG)")))
+
+
+def q_gopher_spark(spark, sf_dir):
+    """Gopher word-statistics quality rules (Rae et al. 2021, appendix
+    A1.1): word-count bounds, mean-word-length band, symbol-to-word
+    ratio, alphabetic-word fraction, required-stopword presence, and the
+    composite keep decision — the repetition-family rule is the sibling
+    repetition_ratio query.  All thresholds are integer
+    cross-multiplications (functions/text.gopher_flags), so the flags
+    hash bit-identically against the DuckDB oracle.  Plan shape: one
+    map-side projection over the corpus — zero shuffles, zero joins; at
+    100 TB this is a pure scan stage that fuses into whatever consumes
+    the keep flag."""
+    from .functions import text as X
+    register_views(spark, sf_dir)
+    d = spark.table("documents")
+    tok = d.select("doc_id", "text", X.tokens(F.col("text")).alias("toks"))
+    return tok.select("doc_id", *X.gopher_flags(F.col("text"), F.col("toks")))
 
 
 def q_training_order_spark(spark, sf_dir):
@@ -2525,6 +2670,44 @@ SELECT doc_id,
 FROM per GROUP BY doc_id
 """
 
+# Gopher word-statistics rules: every ratio threshold is an integer
+# cross-multiplication, mirroring functions/text.gopher_flags exactly
+# (sum_word_chars = length with spaces stripped; n_alpha_words = maximal
+# non-space runs containing a letter; list_intersect/array_intersect both
+# dedupe, so n_req_stop counts DISTINCT required stopwords in both engines)
+_GOPHER_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lower(text) AS low, {_TOKS} AS toks FROM documents
+), s AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(length(regexp_replace(low, ' ', '', 'g')) AS BIGINT)
+           AS sum_word_chars,
+         CAST(len(regexp_extract_all(low, '[^ ]*[a-z][^ ]*')) AS BIGINT)
+           AS n_alpha_words,
+         CAST(len(regexp_extract_all(low, '#'))
+              + len(regexp_extract_all(low, '\\.\\.\\.')) AS BIGINT)
+           AS n_symbols,
+         CAST(len(list_intersect(toks, ['the','a','and','of'])) AS BIGINT)
+           AS n_req_stop
+  FROM t
+), r AS (
+  SELECT *,
+         CAST(n_words >= 20 AND n_words <= 100000 AS BIGINT) AS r_words,
+         CAST(3 * n_words <= sum_word_chars
+              AND sum_word_chars <= 10 * n_words AS BIGINT) AS r_mean,
+         CAST(10 * n_symbols <= n_words AS BIGINT) AS r_symbol,
+         CAST(5 * n_alpha_words >= 4 * n_words AS BIGINT) AS r_alpha,
+         CAST(n_req_stop >= 2 AS BIGINT) AS r_stop
+  FROM s
+)
+SELECT doc_id, n_words, sum_word_chars, n_alpha_words, n_symbols, n_req_stop,
+       r_words, r_mean, r_symbol, r_alpha, r_stop,
+       CAST(r_words = 1 AND r_mean = 1 AND r_symbol = 1 AND r_alpha = 1
+            AND r_stop = 1 AS BIGINT) AS keep
+FROM r
+"""
+
 # seeded epoch permutation: the oracle may use the single-window
 # ROW_NUMBER (tiny scale); the Spark side must NOT (bucket-offset rank)
 _TRAINING_ORDER_SQL = f"""
@@ -3643,16 +3826,19 @@ def build_catalog() -> dict[str, dict]:
     # (r4g rotation: cell_index, landuse_agg and cell_halo — green r1-r3 —
     # are demoted to the tail for the five NEW never-reported r4g entries;
     # per-entry rationale at their tail registrations.)
-    df_q("pip_assign", q_pip_assign_spark, _render(f"""
-WITH {PTS}, {RECTS}, {PIP_JOIN}
-SELECT point_id, cell_id, MIN(poly_id) AS polygon_id
-FROM hits GROUP BY point_id, cell_id""", "duckdb"))
-
+    # NEW r4k: area-weighted areal interpolation enters the window in
+    # place of pip_assign (demoted to the tail: green r1-r3; its
+    # candidate-cell broadcast join + containment refine is composed
+    # end-to-end by the still-reported knn_snap, whose orphan stage IS
+    # the same PIP join null-filtered — rationale at the tail
+    # registration)
+    df_q("areal_interp", q_areal_interp_spark, _AREAL_SQL)
 
     # NEW r4h: JSON schema-on-read surface enters the window in place of
     # tile_assign (demoted to the tail: green r1-r3; its PIP candidate
-    # join stays reported via pip_assign and its dominance argmax via
-    # faces_landuse — rationale at the tail registration)
+    # join stays reported via knn_snap's orphan stage and areal_interp's
+    # covering-cell index, and its dominance argmax via faces_landuse —
+    # rationale at the tail registration)
     df_q("json_props", q_json_props_spark, _JSON_PROPS_SQL)
 
     df_q("knn_snap", q_knn_snap_spark, _render(f"""
@@ -3735,6 +3921,12 @@ GROUP BY GROUPING SETS ((cls, cell_y), (cls), ())""", "duckdb"))
     # report window; pivot_status demoted to the tail to make room (see
     # the rotation comment below).
     df_q("repetition_ratio", q_repetition_spark, _REPETITION_SQL)
+    # NEW r4k: Gopher word-statistics quality rules (Rae et al. 2021)
+    # enter the window in place of embedding_near_dup (demoted to the
+    # tail: green r2-r3; its exact integer-cosine pair kernel stays
+    # reported via semdedup and its capped bucket-pair graph via
+    # dedup_components — rationale at the tail registration)
+    df_q("gopher_rules", q_gopher_spark, _GOPHER_SQL)
     # deterministic epoch shuffle (NEW r4): two-pass bucket-offset global
     # rank — no single-partition window; global_topk demoted to the tail
     # to make room (see the rotation comment below).
@@ -3760,15 +3952,16 @@ GROUP BY GROUPING SETS ((cls, cell_y), (cls), ())""", "duckdb"))
     # rationale at its tail registration.  r4i: embedding_topk and
     # ngram_jaccard — both green r1-r3 — demoted for dbscan + semdedup;
     # rationale at their tail registrations.)
-    # IVF-ANN: integer quantizer + floored-mean Lloyd step -> exact oracle
-    df_q("embedding_ivf", q_embedding_ivf_spark, _EMB_IVF_SQL)
+    # NEW r4k: PQ-ADC approximate top-k enters the window in place of
+    # embedding_ivf (demoted to the tail: green r1-r3; its coarse
+    # quantizer / zero-shuffle assignment stays reported via semdedup,
+    # and its quantized scoring + topk_per_query tail via this entry —
+    # rationale at the tail registration)
+    df_q("pq_topk", q_pq_topk_spark, _PQ_TOPK_SQL)
     # NEW r4i: SemDeDup — IVF cluster-then-dedup over the augmented
     # embeddings corpus (exact integer cosine threshold, recursive keeper
     # closure oracle)
     df_q("semdedup", q_semdedup_spark, _SEMDEDUP_SQL)
-    # near-dup: integer LSH bucket + capped in-bucket pairs -> exact oracle
-    df_q("embedding_near_dup", q_embedding_near_dup_spark,
-         _emb_near_dup_sql())
 
     # NEW r4j: count-min sketch — registered in-window in place of
     # faces_grid (demoted to the tail: green r1-r3, and its face-extraction
@@ -3921,6 +4114,29 @@ FROM m GROUP BY gy, grp""")
 
     # -- driver-report tail: demoted redundant-evidence greens (see the
     #    rotation comments above) ------------------------------------------
+    # r4k demotions — multi-round driver greens, each composed end-to-end
+    # by a still-reported sibling:
+    # pip_assign (green r1-r3): its candidate-cell broadcast join +
+    # containment refine + groupBy-min is composed by the still-reported
+    # knn_snap (whose orphan stage is the identical PIP join,
+    # null-filtered, over the same PTS/RECTS fixture) and the new
+    # areal_interp (the same _rect_cells covering-cell index with exact
+    # per-cell overlap arithmetic on top)
+    df_q("pip_assign", q_pip_assign_spark, _render(f"""
+WITH {PTS}, {RECTS}, {PIP_JOIN}
+SELECT point_id, cell_id, MIN(poly_id) AS polygon_id
+FROM hits GROUP BY point_id, cell_id""", "duckdb"))
+    # embedding_ivf (green r1-r3): its ivf_train coarse quantizer and
+    # zero-shuffle Arrow argmin assignment are composed end-to-end by the
+    # still-reported semdedup (the same clustering, then dedup), and its
+    # integer-quantized scoring + topk_per_query tail by the new pq_topk
+    df_q("embedding_ivf", q_embedding_ivf_spark, _EMB_IVF_SQL)
+    # embedding_near_dup (green r2-r3): its exact integer-cosine
+    # threshold pair kernel stays reported via semdedup, and its capped
+    # LSH-bucket group-collect pair graph via dedup_components (the same
+    # cap + in-bucket pair enumeration, minhash-banded)
+    df_q("embedding_near_dup", q_embedding_near_dup_spark,
+         _emb_near_dup_sql())
     # r4i demotions — driver-green r1-r3:
     # winnow_fp (green r2-r3): its rolling-hash k-gram pipeline stays
     # reported via repeated_spans (the same portable token-gram hashing,
@@ -3933,15 +4149,15 @@ FROM m GROUP BY gy, grp""")
     # dedup_components (capped LSH pair graph) report every round
     df_q("ngram_jaccard", q_ngram_jaccard_spark, _NGRAM_JACCARD_SQL)
     # embedding_topk: its two-phase mapInPandas top-k merge is composed
-    # end-to-end by the still-reported embedding_ivf (same topk_per_query
+    # end-to-end by the still-reported pq_topk (same topk_per_query
     # tail), and the exact integer-dot scoring by the newly-reported
     # semdedup's threshold kernel
     df_q("embedding_topk", q_embedding_topk_spark, _EMB_TOPK_SQL)
     # r4h demotions — driver-green r1-r3:
     # tile_assign: its PIP candidate join is the still-reported
-    # pip_assign's (same PTS/RECTS/PIP_JOIN fixture), and its dominance
-    # selection is the same struct-min argmax the still-reported
-    # faces_landuse uses since the r4 exchange diet
+    # knn_snap's orphan stage (same PTS/RECTS/PIP_JOIN fixture), and its
+    # dominance selection is the same struct-min argmax the
+    # still-reported faces_landuse uses since the r4 exchange diet
     df_q("tile_assign", q_tile_assign_spark, _render(f"""
 WITH {PTS}, {RECTS}, {PIP_JOIN},
 c AS (SELECT cell_id, cls, COUNT(*) AS n FROM hits GROUP BY 1, 2)
@@ -3990,9 +4206,9 @@ SELECT a.cell_id, CAST(SUM(b.n) AS BIGINT) AS halo_points
 FROM c a JOIN c b
   ON ABS(a.cell_x - b.cell_x) <= 1 AND ABS(a.cell_y - b.cell_y) <= 1
 GROUP BY a.cell_id""", "duckdb"))
-    # embedding_ann: its integer sign-bit LSH bucket equi-join is the
-    # still-reported embedding_near_dup's bucketing, and its two-phase
-    # top-k tail is the still-reported embedding_topk's (recall floor
+    # embedding_ann: its integer sign-bit LSH bucketing evidence stays
+    # reported via dedup_components' capped LSH pair graph, and its
+    # two-phase top-k tail via the still-reported pq_topk (recall floor
     # stays pytest-pinned)
     df_q("embedding_ann", q_embedding_ann_spark, _emb_ann_sql())
     # density_mvt: density-raster arithmetic stays reported via
@@ -4088,7 +4304,7 @@ FROM s GROUP BY user_id""")
     df_q("asof_join", q_asof_join_spark, _ASOF_SQL)
     # demoted with the r4 range_join promotion: green r1-r3, same
     # PTS/RECTS/PIP_JOIN CTEs and groupBy-agg shape as the still-reported
-    # pip_assign/landuse_agg/overlap_area family
+    # knn_snap orphan stage and areal_interp aggregation
     df_q("bbox_join", q_bbox_join_spark, _render(f"""
 WITH {PTS}, {RECTS}, {PIP_JOIN}
 SELECT poly_id, COUNT(*) AS n_points,

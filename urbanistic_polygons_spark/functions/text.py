@@ -143,6 +143,72 @@ def winnow_windows(grams: Column, w: int = 4) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# Gopher-style document quality rules (Rae et al. 2021, appendix A1.1 —
+# public paper).  The repetition-family rule lives in the catalog's
+# repetition_ratio query; these are the word-statistics family.  Every
+# rule is integer arithmetic on counts (ratio thresholds become integer
+# cross-multiplications), so the flags are bit-identical in the DuckDB
+# oracle and never sensitive to float division.
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 100000
+#: required-stopword rule: the document must contain at least 2 DISTINCT
+#: members ("the" + one more) — Gopher's "contains at least 2 of a small
+#: set of stop words" rule, with a set chosen to discriminate on the
+#: synthetic corpus vocabulary
+GOPHER_REQ_STOPWORDS = ["the", "a", "and", "of"]
+
+
+def gopher_flags(text: Column, toks: Column) -> list[Column]:
+    """Gopher word-statistics rule columns over an ALREADY-MATERIALIZED
+    token-array column (the HOF rule: the split is computed once in the
+    caller's projection, not re-evaluated inside each consumer).
+
+    Counts avoid per-element HOF work where a single JVM regexp can
+    produce the same number:
+    - ``sum_word_chars`` = length with spaces removed (tokens are the
+      non-space runs, so this IS the sum of token lengths);
+    - ``n_alpha_words`` = maximal non-space runs containing a letter
+      (greedy ``[^ ]*[a-z][^ ]*`` matches each such run exactly once).
+
+    Rules (integer cross-multiplied):
+      r_words:  GOPHER_MIN_WORDS <= n_words <= GOPHER_MAX_WORDS
+      r_mean:   3 <= mean word length <= 10   (3n <= chars AND chars <= 10n)
+      r_symbol: symbol-to-word ratio <= 0.1   (10 * n_symbols <= n_words)
+      r_alpha:  >= 80% of words contain a letter (5 * n_alpha >= 4 * n)
+      r_stop:   >= 2 distinct required stopwords present
+      keep:     all of the above
+    """
+    low = F.lower(text)
+    n_words = F.size(toks).cast("long")
+    sum_chars = F.length(F.regexp_replace(low, " ", "")).cast("long")
+    n_alpha = F.size(F.regexp_extract_all(
+        low, F.lit("[^ ]*[a-z][^ ]*"), 0)).cast("long")
+    n_sym = (F.regexp_count(low, F.lit("#"))
+             + F.regexp_count(low, F.lit(r"\.\.\."))).cast("long")
+    req = F.array(*[F.lit(w) for w in GOPHER_REQ_STOPWORDS])
+    n_stop = F.size(F.array_intersect(toks, req)).cast("long")
+    r_words = ((n_words >= GOPHER_MIN_WORDS)
+               & (n_words <= GOPHER_MAX_WORDS)).cast("long")
+    r_mean = ((F.lit(3) * n_words <= sum_chars)
+              & (sum_chars <= F.lit(10) * n_words)).cast("long")
+    r_symbol = (F.lit(10) * n_sym <= n_words).cast("long")
+    r_alpha = (F.lit(5) * n_alpha >= F.lit(4) * n_words).cast("long")
+    r_stop = (n_stop >= 2).cast("long")
+    keep = ((r_words == 1) & (r_mean == 1) & (r_symbol == 1)
+            & (r_alpha == 1) & (r_stop == 1)).cast("long")
+    return [
+        n_words.alias("n_words"), sum_chars.alias("sum_word_chars"),
+        n_alpha.alias("n_alpha_words"), n_sym.alias("n_symbols"),
+        n_stop.alias("n_req_stop"),
+        r_words.alias("r_words"), r_mean.alias("r_mean"),
+        r_symbol.alias("r_symbol"), r_alpha.alias("r_alpha"),
+        r_stop.alias("r_stop"), keep.alias("keep"),
+    ]
+
+
+# ---------------------------------------------------------------------------
 # PII detection / redaction (training-data scrubbing).  Pure JVM regexp
 # expressions; the patterns stay inside the (large) dialect intersection of
 # Java regex and DuckDB's RE2 — character classes, bounded repetition and
