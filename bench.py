@@ -49,6 +49,9 @@ HEADLINE = [
     "dbscan", "semdedup", "cdc_upsert",
     # r4j: count-min sketch point-frequency estimates (shingle key space)
     "cms_counts",
+    # r4k: Gopher word-statistics quality rules + PQ-ADC quantized top-k +
+    # area-weighted areal interpolation
+    "gopher_rules", "pq_topk", "areal_interp",
     # multimodal binary columns
     "media_meta", "media_features",
     # interleaved spans synthesis
