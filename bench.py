@@ -52,6 +52,9 @@ HEADLINE = [
     # r4k: Gopher word-statistics quality rules + PQ-ADC quantized top-k +
     # area-weighted areal interpolation
     "gopher_rules", "pq_topk", "areal_interp",
+    # r4l: cell-cover compaction (H3 compact analog) + HDR-histogram
+    # quantile sketch
+    "cell_compact", "hdr_quantiles",
     # multimodal binary columns
     "media_meta", "media_features",
     # interleaved spans synthesis

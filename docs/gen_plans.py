@@ -23,7 +23,8 @@ AUDIT = ["pip_assign", "knn_snap", "tile_assign", "q3_shipping", "q5_region",
          "chunk_docs", "bpe_pairs", "ngram_novelty", "fuzzy_dedup",
          "idw_grid", "hll_distinct", "prefix_jaccard", "repeated_spans",
          "json_props", "dbscan", "semdedup", "cdc_upsert", "cms_counts",
-         "gopher_rules", "pq_topk", "areal_interp"]
+         "gopher_rules", "pq_topk", "areal_interp", "cell_compact",
+         "hdr_quantiles"]
 out = ["""# Physical plan audit
 
 Generated from `.explain`/`executedPlan` at sf0.01 (regenerate with

@@ -391,6 +391,111 @@ FROM ov WHERE ow > 0 AND oh > 0
 GROUP BY cell_id, cls""", "duckdb")
 
 
+def q_cell_compact_spark(spark, sf_dir):
+    """Cell-cover compaction (operators/compact.py::compact_cover — H3
+    ``compact_cells`` / S2 ``Normalize`` analog over the engine's
+    quadtree grid): each rect's z14 covering-cell set (the same
+    _rect_cells index every PIP join broadcasts) reduced to the unique
+    minimal mixed-resolution cover, z14 down to z10.  One bounded
+    partially-aggregable groupBy per level, no joins; the pytest gate
+    asserts the uncompact roundtrip reproduces the input set exactly and
+    that no four siblings survive (minimality).  Reference analog: the
+    fixed-zoom SubTilesFor descent (Tiles/TileStatic.cs:105-120) that
+    this replaces with the standard compacted-cover form."""
+    from .operators.compact import compact_cover
+    cover = _rect_cells(_rects_df(spark, sf_dir)).select("poly_id",
+                                                         "cell_id")
+    return compact_cover(cover, "poly_id", "cell_id", 14, 10)
+
+
+def _cell_compact_sql() -> str:
+    """Exact unrolled per-level oracle: the same promote-complete-quads
+    recursion as compact_cover, one CTE trio per zoom level."""
+    lvls, prev = [], "c14"
+    for z in range(14, 10, -1):
+        n, h = 1 << z, 1 << (z - 1)
+        lvls.append(f"""p{z} AS (
+  SELECT poly_id, cell,
+         ((cell {{D}} {n}) {{D}} 2) * {h} + ((cell % {n}) {{D}} 2) AS par
+  FROM {prev}
+), a{z} AS (
+  SELECT poly_id, par, COUNT(*) AS k FROM p{z} GROUP BY poly_id, par
+), f{z} AS (
+  SELECT p.poly_id, {z} AS zoom, p.cell
+  FROM p{z} p JOIN a{z} a ON a.poly_id = p.poly_id AND a.par = p.par
+  WHERE a.k < 4
+), c{z - 1} AS (SELECT poly_id, par AS cell FROM a{z} WHERE k = 4)""")
+        prev = f"c{z - 1}"
+    union = " UNION ALL ".join(
+        [f"SELECT poly_id, zoom, cell FROM f{z}" for z in range(14, 10, -1)]
+        + ["SELECT poly_id, 10 AS zoom, cell FROM c10"])
+    body = ",\n".join(lvls)
+    return _render(f"""
+WITH {RECTS},
+cx AS (SELECT poly_id, x0, x1, y0, y1,
+              unnest(range(x0 {{D}} 10000, x1 {{D}} 10000 + 1)) AS gx
+       FROM rects),
+cxy AS (SELECT poly_id, gx,
+               unnest(range(y0 {{D}} 10000, y1 {{D}} 10000 + 1)) AS gy
+        FROM cx),
+c14 AS (SELECT poly_id, (gy + 5447) * 16384 + (gx + 8300) AS cell FROM cxy),
+{body}
+SELECT poly_id, CAST(zoom AS BIGINT) AS zoom, CAST(cell AS BIGINT) AS cell
+FROM ({union})""", "duckdb")
+
+
+def q_hdr_quantiles_spark(spark, sf_dir):
+    """HDR-histogram quantile sketch (operators/sketches.py
+    hdr_quantiles): per-returnflag price-cents quantile BRACKETS from the
+    (exponent, mantissa) cell table — exponent = length(bin(v)) - 1, so
+    the whole sketch is integer-exact in both engines (no float log).
+    The value set is never sorted or shuffled: one bounded cell groupBy,
+    a window over <= 64 * 2^5 cells per group, a broadcast rank join.
+    [est_lo, est_hi] bracket the exact ceil-rank value with <= 2^-5
+    relative width (bracket + mergeability asserted in pytest)."""
+    from .operators.sketches import hdr_quantiles
+    register_views(spark, sf_dir)
+    li = spark.table("lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        .alias("cents"))
+    return hdr_quantiles(li, "l_returnflag", "cents",
+                         [2500, 5000, 9000, 9900])
+
+
+_HDR_SQL = """
+WITH v AS (
+  SELECT l_returnflag AS g,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v
+  FROM lineitem
+), b AS (
+  SELECT g, v, CAST(length(bin(v)) - 1 AS BIGINT) AS e,
+         v >> GREATEST(length(bin(v)) - 1 - 5, 0) AS m
+  FROM v
+), cells AS (
+  SELECT g, e, m, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1, 2, 3
+), cum AS (
+  SELECT g, e, m, c,
+         CAST(SUM(c) OVER (PARTITION BY g ORDER BY e, m) AS BIGINT) AS cum
+  FROM cells
+), nn AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM cells GROUP BY g),
+t(q_permyriad) AS (VALUES (2500), (5000), (9000), (9900)),
+k AS (
+  SELECT g, n, CAST(q_permyriad AS BIGINT) AS q_permyriad,
+         LEAST(GREATEST(1, (CAST(q_permyriad AS BIGINT) * n + 9999)
+                           // 10000), n) AS k
+  FROM t, nn
+)
+SELECT k.g AS l_returnflag, k.q_permyriad, k.n, k.k,
+       CAST(cum.m << CAST(GREATEST(cum.e - 5, 0) AS INT) AS BIGINT)
+         AS est_lo,
+       CAST((cum.m << CAST(GREATEST(cum.e - 5, 0) AS INT))
+            + (CAST(1 AS BIGINT) << CAST(GREATEST(cum.e - 5, 0) AS INT))
+            - 1 AS BIGINT) AS est_hi
+FROM k JOIN cum ON cum.g = k.g AND cum.cum >= k.k AND cum.cum - cum.c < k.k
+"""
+
+
 def q_salted_agg_spark(spark, sf_dir):
     """Two-phase salted aggregation (north_rule skew pattern): hot cells
     are split across 8 salted partial-agg keys, then merged.  The oracle
@@ -3879,25 +3984,28 @@ FROM ranked WHERE rn = 1""", "duckdb"))
     # NEW r4b: corpus-wide line-level dedup (C4 §2.2 / RefinedWeb) —
     # registered in-window in place of q1_pricing (demoted to the tail:
     # green r1-r3, a thin filtered-agg whose evidence is a subset of the
-    # reported landuse_rollup / salted_agg aggregation surface)
+    # reported salted_agg / areal_interp aggregation surface)
     df_q("line_dedup", q_line_dedup_spark, _LINE_DEDUP_SQL)
 
-    # global ordered top-k (TakeOrderedAndProject / range-partitioned sort)
-    df_q("landuse_rollup", q_landuse_rollup_spark, _render(f"""
-WITH {PTS}, {RECTS}, {PIP_JOIN}
-SELECT COALESCE(cls, '<all>') AS cls,
-       COALESCE(CAST(cell_y AS STRING), '<all>') AS row_band,
-       COUNT(*) AS n_points,
-       CAST(SUM(weight_cents) AS BIGINT) AS sum_weight_cents
-FROM (SELECT cls, cell_id {{D}} 16384 AS cell_y, weight_cents FROM hits)
-GROUP BY GROUPING SETS ((cls, cell_y), (cls), ())""", "duckdb"))
+    # NEW r4l: cell-cover compaction (H3 compact_cells analog, exact
+    # unrolled per-level oracle) enters the window in place of
+    # landuse_rollup (demoted to the tail: green r1-r3 on record; its
+    # PIP-join aggregation surface stays reported via salted_agg and
+    # areal_interp — rationale at the tail registration)
+    df_q("cell_compact", q_cell_compact_spark, _cell_compact_sql())
 
     # -- relational joins (broadcast dims + shuffled facts) ------------------
-    df_q("q3_shipping", q3_shipping_spark, _Q3_SQL)
+    # NEW r4l: HDR-histogram quantile sketch (mergeable log-bucketed
+    # quantile brackets, all-integer) enters the window in place of
+    # q3_shipping (demoted to the tail: green r1-r3 on record; the
+    # broadcast-dim + shuffled-fact join surface stays reported via
+    # range_join, bloom_semi_join, cdc_upsert and knn_snap — rationale
+    # at the tail registration)
+    df_q("hdr_quantiles", q_hdr_quantiles_spark, _HDR_SQL)
     # NEW r4b: PII count + redaction — registered in-window in place of
     # q5_region (demoted to the tail: green r1-r3, a 6-table join whose
-    # join-strategy evidence is a subset of the reported q3_shipping +
-    # range_join + asof_join surface)
+    # join-strategy evidence is a subset of the q3_shipping (on record,
+    # demoted r4l) + range_join + asof_join surface)
     df_q("pii_redact", q_pii_redact_spark, _PII_REDACT_SQL)
     # banded interval join (NEW r4): point-in-window attribution as an
     # equi-join on (band, user) + refine — no BNLJ.  Registered inside
@@ -4083,7 +4191,7 @@ FROM m GROUP BY gy, grp""")
     df_q("triangle_count", q_triangle_count_spark, _TRIANGLE_SQL)
     # integer-exact PageRank, 5 iterations (NEW -> in-window; asof_join
     # demoted: green r1-r3, ordered-join surface kept via the reported
-    # range_join + q3_shipping)
+    # range_join)
     df_q("pagerank", q_pagerank_spark, _pagerank_sql())
 
     # ------------------------------------------------------------------
@@ -4299,8 +4407,8 @@ FROM s GROUP BY user_id""")
     df_q("media_meta", q_media_meta_spark, _MEDIA_META_SQL)
     df_q("media_features", q_media_features_spark, _MEDIA_FEATURES_SQL)
     # asof_join (green r1-r3, demoted for the promoted pagerank):
-    # ordered-join surface kept via the reported range_join +
-    # q3_shipping
+    # ordered-join surface kept via the reported range_join (q3_shipping
+    # green r1-r3 on record, demoted r4l)
     df_q("asof_join", q_asof_join_spark, _ASOF_SQL)
     # demoted with the r4 range_join promotion: green r1-r3, same
     # PTS/RECTS/PIP_JOIN CTEs and groupBy-agg shape as the still-reported
@@ -4337,8 +4445,9 @@ SELECT cell_id, (px % 10000) {{D}} 625 AS gx, (py % 10000) {{D}} 625 AS gy,
 FROM pts_cell GROUP BY 1, 2, 3""")
 
     # demoted with the r4 repetition_ratio promotion: green r1-r3, a
-    # conditional-sum pivot whose evidence is a subset of the reported
-    # grouping-sets landuse_rollup
+    # conditional-sum pivot whose evidence is a subset of the
+    # grouping-sets landuse_rollup (green r1-r3 on record, itself
+    # demoted r4l) and the reported gopher_rules conditional sums
     sql_q("pivot_status", """
 SELECT o_orderpriority,
        CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
@@ -4362,7 +4471,8 @@ LIMIT 100""")
     df_q("tile_pyramid", q_tile_pyramid_spark, _TILE_PYRAMID_SQL)
     # demoted with the r4b line_dedup promotion: green r1-r3, a thin
     # filtered-agg whose evidence is a subset of the reported
-    # landuse_rollup / salted_agg aggregation surface
+    # salted_agg / areal_interp aggregation surface (and of
+    # landuse_rollup, green r1-r3 on record, demoted r4l)
     sql_q("q1_pricing", """
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
@@ -4374,7 +4484,26 @@ FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus""")
     # demoted with the r4b pii_redact promotion: green r1-r3, a 6-table
-    # join whose join-strategy evidence is a subset of the reported
-    # q3_shipping + range_join + asof_join surface
+    # join whose join-strategy evidence is a subset of the q3_shipping
+    # (green r1-r3 on record, demoted r4l) + range_join + asof_join
+    # surface
     df_q("q5_region", q5_region_spark, _Q5_SQL)
+    # demoted with the r4l cell_compact promotion: green r1-r3 on
+    # record; its GROUPING SETS rollup composes the same
+    # PTS/RECTS/PIP_JOIN CTEs and weight-cents sums as the
+    # still-reported salted_agg and areal_interp aggregations; the
+    # rollup shape itself stays pytest-oracle-gated
+    df_q("landuse_rollup", q_landuse_rollup_spark, _render(f"""
+WITH {PTS}, {RECTS}, {PIP_JOIN}
+SELECT COALESCE(cls, '<all>') AS cls,
+       COALESCE(CAST(cell_y AS STRING), '<all>') AS row_band,
+       COUNT(*) AS n_points,
+       CAST(SUM(weight_cents) AS BIGINT) AS sum_weight_cents
+FROM (SELECT cls, cell_id {{D}} 16384 AS cell_y, weight_cents FROM hits)
+GROUP BY GROUPING SETS ((cls, cell_y), (cls), ())""", "duckdb"))
+    # demoted with the r4l hdr_quantiles promotion: green r1-r3 on
+    # record; the broadcast-dim + shuffled-fact join surface stays
+    # reported via range_join, bloom_semi_join, cdc_upsert and
+    # knn_snap's orphan join
+    df_q("q3_shipping", q3_shipping_spark, _Q3_SQL)
     return cat

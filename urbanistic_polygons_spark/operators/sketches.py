@@ -30,7 +30,7 @@ LLM-pipeline extension surface (SURVEY §2.8).
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -248,3 +248,88 @@ def cms_estimates(toks: DataFrame, token_col: str = "token",
             .agg(F.min("cnt").alias("cnt"), F.min("c").alias("est"))
             .select("token", "est", "cnt",
                     (F.col("est") - F.col("cnt")).alias("err")))
+
+
+# -- HDR-histogram quantile sketch -------------------------------------------
+# The fourth mergeable sketch: quantiles over a value set too large to
+# sort (exact_quantiles/grouped_quantiles shuffle the values or their
+# fine buckets; at 100 TB even the bucket table can be bigger than the
+# answer needs).  HdrHistogram's layout (Tene, hdrhistogram.org) buckets
+# a non-negative integer by (exponent, top mantissa bits): with s
+# sub-bucket bits every bucket spans a 2^-s relative range, so any
+# quantile is answered with <= 2^-s relative error from a table of at
+# most 64 * 2^s cells per group — mergeable cell-wise (counts add), so
+# sketches of shards combine without re-reading data.
+#
+# Everything is integer: exponent = length(bin(v)) - 1 (exact bit length
+# in both engines — no float log anywhere), mantissa = v >> (e - s), and
+# (e, m) ascending is value ascending, so rank selection is a window
+# cumsum over the CELLS, never the values.  The reported bounds
+# [est_lo, est_hi] bracket the true rank-k value by construction; the
+# pytest gate asserts the exact quantile lands inside and that the
+# sketch of a union equals the cell-wise sum of the shard sketches.
+
+HDR_SUBBITS = 5                 # relative error <= 2^-5 (~3.1%)
+
+
+def hdr_cells(df: DataFrame, group_col: str, value_col: str,
+              subbits: int = HDR_SUBBITS) -> DataFrame:
+    """-> (g, e, m, c): the per-group HDR cell table.  ONE partially-
+    aggregable groupBy; the shuffle carries at most
+    groups x 64 x 2^subbits cell rows regardless of input size.
+    Negative values are the caller's bug (asserted away in tests);
+    v = 0 lands in cell (0, 0)."""
+    base = df.select(F.col(group_col).alias("g"),
+                     F.col(value_col).cast("long").alias("v"))
+    b = (base
+         .withColumn("e", (F.length(F.bin(F.col("v"))) - 1).cast("long"))
+         .withColumn("m", F.expr(
+             f"shiftright(v, cast(greatest(e - {subbits}, 0) as int))")))
+    return (b.groupBy("g", "e", "m")
+            .agg(F.count("*").cast("long").alias("c")))
+
+
+def hdr_quantiles(df: DataFrame, group_col: str, value_col: str,
+                  q_permyriad: list[int],
+                  subbits: int = HDR_SUBBITS) -> DataFrame:
+    """Per-group quantile brackets from the HDR cell table:
+    (g, q_permyriad, n, k, est_lo, est_hi) — est_lo/est_hi are the
+    bucket bounds containing the exact rank-k value (ceil-rank, the same
+    k formula as grouped_quantiles), so
+    est_lo <= true quantile <= est_hi <= est_lo * (1 + 2^-subbits).
+
+    Scale shape: one cell-table shuffle (bounded above), a window over
+    the CELLS of each group (<= 64 * 2^subbits rows), and a broadcast
+    join of the groups x |q| target ranks against the cells — the value
+    set itself is never sorted or shuffled."""
+    cells = hdr_cells(df, group_col, value_col, subbits)
+    wc = Window.partitionBy("g").orderBy("e", "m")
+    cum = (cells
+           .withColumn("cum", F.sum("c").over(wc).cast("long")))
+    n = cells.groupBy("g").agg(F.sum("c").cast("long").alias("n"))
+    qs = F.array(*[F.lit(q) for q in q_permyriad])
+    targets = (n.select("g", "n",
+                        F.explode_outer(qs).alias("q_permyriad"))
+               .withColumn("q_permyriad",
+                           F.col("q_permyriad").cast("long"))
+               .withColumn(
+                   "k",
+                   F.expr("least(greatest(1L, "
+                          "(q_permyriad * n + 9999) DIV 10000), n)")))
+    # explicit alias on the broadcast side: cum and targets share the
+    # cells lineage, and the bare self-join key triggers Spark's
+    # "trivially true equals" warning even though plan-id resolution
+    # disambiguates it correctly
+    targets = targets.withColumnRenamed("g", "tg")
+    hit = cum.join(
+        F.broadcast(targets),
+        (F.col("g") == F.col("tg"))
+        & (F.col("cum") >= F.col("k"))
+        & (F.col("cum") - F.col("c") < F.col("k")))
+    return hit.select(
+        F.col("g").alias(group_col), "q_permyriad", "n", "k",
+        F.expr(f"shiftleft(m, cast(greatest(e - {subbits}, 0) as int))")
+        .cast("long").alias("est_lo"),
+        (F.expr(f"shiftleft(m, cast(greatest(e - {subbits}, 0) as int))")
+         + F.expr(f"shiftleft(1L, cast(greatest(e - {subbits}, 0) as int))")
+         - F.lit(1)).cast("long").alias("est_hi"))

@@ -232,3 +232,39 @@ def run_stream_to_memory(spark: SparkSession, path: str,
     q.processAllAvailable()
     q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def streaming_hdr_cells(docs: DataFrame,
+                        window: str = "10 minutes",
+                        watermark: str = "30 minutes",
+                        subbits: int = 5) -> DataFrame:
+    """Streaming HDR-histogram cells of the per-document span-text-length
+    distribution, per tumbling event-time window.
+
+    The batch sketch (operators/sketches.py::hdr_quantiles) is ONE
+    partially-aggregable groupBy over (exponent, mantissa) cells, so it
+    streams FOR FREE as a standard watermarked streaming aggregation —
+    no custom stateful operator, state bounded by windows x 64 x 2^s
+    cells, late data handled by the watermark, and per-window cell
+    tables merge cell-wise downstream (mergeable summaries).  Quantile
+    extraction stays a tiny batch read over the cell sink (the same
+    cumsum walk as the batch operator).  The length HOF runs on the
+    scalar-size spans array (JVM-HOF rule: fine below corpus scale)."""
+    lens = (docs.withWatermark("event_time", watermark)
+            .select(
+                "doc_id", "event_time",
+                F.aggregate(
+                    F.transform(
+                        F.col("spans"),
+                        lambda s: F.length(F.coalesce(s["text"],
+                                                      F.lit("")))),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x.cast("long")).alias("v")))
+    b = (lens
+         .withColumn("e", (F.length(F.bin(F.col("v"))) - 1).cast("long"))
+         .withColumn("m", F.expr(
+             f"shiftright(v, cast(greatest(e - {subbits}, 0) as int))")))
+    return (b.groupBy(F.window("event_time", window), "e", "m")
+            .agg(F.count("*").cast("long").alias("c"))
+            .select(F.col("window.start").alias("window_start"),
+                    "e", "m", "c"))
