@@ -400,7 +400,7 @@ def q_cell_compact_spark(spark, sf_dir):
     partially-aggregable groupBy per level, no joins; the pytest gate
     asserts the uncompact roundtrip reproduces the input set exactly and
     that no four siblings survive (minimality).  Reference analog: the
-    fixed-zoom SubTilesFor descent (Tiles/TileStatic.cs:105-120) that
+    fixed-zoom SubTilesFor descent (Tiles/TileStatic.cs:141-176) that
     this replaces with the standard compacted-cover form."""
     from .operators.compact import compact_cover
     cover = _rect_cells(_rects_df(spark, sf_dir)).select("poly_id",
