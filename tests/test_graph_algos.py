@@ -15,7 +15,7 @@ import pyspark.sql.functions as F
 import pytest
 
 from urbanistic_polygons_spark.operators.graph_algos import (
-    PR_SCALE, canonical_edges, pagerank_int, triangle_count)
+    PR_SCALE, canonical_edges, pagerank_int, sssp_int, triangle_count)
 
 
 def _brute_triangles(edges):
@@ -96,3 +96,77 @@ def test_pagerank_source_holds_teleport_floor(spark):
     df = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
     got = {r["node"]: r["rank"] for r in pagerank_int(df, iters=3).collect()}
     assert got[0] == 15 * PR_SCALE // (100 * 3)
+
+
+def _brute_sssp_rounds(edges, source, rounds):
+    """Synchronous full-relaxation Bellman-Ford: dist after round i =
+    min path weight over <= i edges (the recurrence the DuckDB oracle
+    unrolls; sssp_int's frontier loop must equal it round-for-round)."""
+    ew = {}
+    for s, d, w in edges:
+        if s != d:
+            ew[(s, d)] = min(w, ew.get((s, d), w))
+    dist = {source: 0}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for (s, d), w in ew.items():
+            if s in dist and dist[s] + w < nxt.get(d, dist[s] + w + 1):
+                nxt[d] = dist[s] + w
+        dist = nxt
+    return dist
+
+
+def _dijkstra(edges, source):
+    import heapq
+    adj = {}
+    for s, d, w in edges:
+        if s != d:
+            adj.setdefault(s, []).append((d, w))
+    dist, heap = {}, [(0, source)]
+    while heap:
+        dv, v = heapq.heappop(heap)
+        if v in dist:
+            continue
+        dist[v] = dv
+        for d, w in adj.get(v, []):
+            if d not in dist:
+                heapq.heappush(heap, (dv + w, d))
+    return dist
+
+
+@pytest.mark.parametrize("rounds", [1, 2, 8])
+def test_sssp_round_bounded_matches_full_relaxation(spark, rounds):
+    # weighted chain + shortcuts: needs several rounds to converge, so
+    # small round caps pin the <=k-edge-path semantics (frontier ==
+    # full synchronous relaxation, round-for-round)
+    edges = [(0, 1, 10), (1, 2, 10), (2, 3, 10), (3, 4, 10),
+             (0, 2, 50), (1, 4, 100), (0, 4, 500)]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {r["node"]: r["dist"]
+           for r in sssp_int(df, 0, max_rounds=rounds).collect()}
+    assert got == _brute_sssp_rounds(edges, 0, rounds)
+
+
+def test_sssp_fixpoint_matches_dijkstra_random(spark):
+    rng = random.Random(11)
+    for trial in range(3):
+        edges = [(rng.randrange(30), rng.randrange(30),
+                  1 + rng.randrange(20)) for _ in range(120)]
+        df = spark.createDataFrame(edges, "src long, dst long, w long")
+        got = {r["node"]: r["dist"]
+               for r in sssp_int(df, 0, max_rounds=40).collect()}
+        assert got == _dijkstra(edges, 0), f"trial {trial}"
+
+
+def test_sssp_parallel_edges_and_loops_collapse(spark):
+    edges = [(0, 1, 9), (0, 1, 3), (1, 1, 1), (1, 2, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {r["node"]: r["dist"] for r in sssp_int(df, 0).collect()}
+    assert got == {0: 0, 1: 3, 2: 5}
+
+
+def test_sssp_unreachable_nodes_absent(spark):
+    edges = [(0, 1, 1), (2, 3, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {r["node"]: r["dist"] for r in sssp_int(df, 0).collect()}
+    assert got == {0: 0, 1: 1}

@@ -1,8 +1,8 @@
-"""Classic web-scale graph analytics: degree-ordered triangle counting
-and integer-exact PageRank.
+"""Classic web-scale graph analytics: degree-ordered triangle counting,
+integer-exact PageRank, and frontier-based shortest paths.
 
 The reference's graph work is structural (faces, components, merges —
-`operators/faces.py`, `operators/merge.py`); these two add the analytic
+`operators/faces.py`, `operators/merge.py`); these add the analytic
 side every large-graph pipeline needs, each with the shape that makes
 it survive a 100 TB edge list:
 
@@ -140,3 +140,80 @@ def pagerank_int(edges: DataFrame, src: str = "src", dst: str = "dst",
                          .alias("rank"))
                  .localCheckpoint(eager=True))
     return ranks
+
+
+def sssp_int(edges: DataFrame, source: int, src: str = "src",
+             dst: str = "dst", weight: str = "w",
+             max_rounds: int = 8) -> DataFrame:
+    """Single-source shortest paths over a weighted directed graph,
+    bounded at ``max_rounds`` relaxation rounds -> (node, dist) for
+    every node reached within that many hops.  The routing analog for
+    the road-network graph the reference builds (its faces/edges are a
+    navigation substrate — anyways-open/urbanistic-polygons
+    README "barrier graph"); distances stay BIGINT so the result is
+    bit-for-bit reproducible and the DuckDB oracle (the SAME rounds
+    unrolled as chained min-union CTEs) hash-matches exactly.
+
+    Semantics: after round i, ``dist(v)`` = min total weight over paths
+    of <= i edges (the synchronous Bellman-Ford prefix), so the
+    k-round-bounded output is well-defined whether or not the graph has
+    converged; the loop early-exits the moment a round improves
+    nothing, which leaves the result identical to running all k rounds.
+
+    Scale shape: FRONTIER-based — each round relaxes only the out-edges
+    of nodes whose distance improved last round (provably equal,
+    round-for-round, to relaxing every edge: a candidate from a
+    non-improved node was already offered the round after that node
+    last improved).  On a converging graph the frontier shrinks toward
+    the shortest-path tree's growing boundary, so per-round shuffle
+    volume decays instead of re-joining the full edge set each round.
+    Each round is one frontier⨝edges join (shuffle keyed on src) + one
+    partial-aggregable min + one full-outer merge with the distance
+    table; the merged frame is checkpointed ONCE per round (it feeds
+    two consumers — next round's dist and frontier — the repo
+    two-consumer lineage rule) and the convergence scalar rides the
+    checkpoint job as an Observation, so each round costs exactly one
+    action.  Parallel edges collapse to their min weight up front;
+    weights are expected non-negative (bounded-round results stay exact
+    either way, but only non-negative weights converge to true SSSP).
+    """
+    from pyspark.sql import Observation
+    from .dedup import ensure_metrics_survive
+
+    ed = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"),
+                       F.col(weight).cast("long").alias("w"))
+          .where(F.col("src") != F.col("dst"))
+          .groupBy("src", "dst").agg(F.min("w").alias("w"))
+          .localCheckpoint(eager=True))
+    spark = edges.sparkSession
+    dist = spark.createDataFrame([(int(source), 0)],
+                                 "node long, dist long")
+    frontier = dist
+    for rnd in range(max_rounds):
+        cand = (ed.join(frontier, ed.src == frontier.node)
+                .select(F.col("dst").alias("node"),
+                        (F.col("dist") + F.col("w")).alias("d"))
+                .groupBy("node").agg(F.min("d").alias("d")))
+        merged = (dist.join(cand, "node", "full_outer")
+                  .select(
+                      F.col("node"),
+                      F.when(F.col("d").isNotNull()
+                             & (F.col("dist").isNull()
+                                | (F.col("d") < F.col("dist"))),
+                             F.col("d")).otherwise(F.col("dist"))
+                      .alias("dist"),
+                      F.when(F.col("d").isNotNull()
+                             & (F.col("dist").isNull()
+                                | (F.col("d") < F.col("dist"))),
+                             F.lit(1)).otherwise(F.lit(0))
+                      .cast("long").alias("improved")))
+        ensure_metrics_survive(merged)
+        obs = Observation(f"sssp_{rnd}")
+        merged = (merged.observe(obs, F.sum("improved").alias("n"))
+                  .localCheckpoint(eager=True))
+        dist = merged.select("node", "dist")
+        frontier = merged.where(F.col("improved") == 1) \
+                         .select("node", "dist")
+        if not (obs.get["n"] or 0):
+            break
+    return dist
