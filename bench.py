@@ -55,6 +55,12 @@ HEADLINE = [
     # r4l: cell-cover compaction (H3 compact analog) + HDR-histogram
     # quantile sketch
     "cell_compact", "hdr_quantiles",
+    # r4m: bigram-LM surprisal (CCNet perplexity-filter analog) +
+    # trajectory trip segmentation (gap+jump splits); sssp stays
+    # un-benched — like dbscan, per-round fixed costs dominate at the
+    # 350-node test-graph size, and the suite is a throughput headline,
+    # not the correctness gate
+    "lm_score", "trip_segments",
     # multimodal binary columns
     "media_meta", "media_features",
     # interleaved spans synthesis

@@ -38,6 +38,7 @@ DOC_QUERIES = [
     "tfidf_topk", "ngram_decontam", "token_budget_mix", "lang_id",
     "quality_score", "span_seq_fp", "spans_explode", "stratified_sample",
     "cross_source_overlap", "weighted_sample", "gopher_rules",
+    "lm_score",
 ]
 # queries whose result must be non-empty on every generated corpus (the
 # generator plants exact duplicates and hot tokens); pair-finding queries

@@ -26,7 +26,7 @@ from test_catalog_oracle import canon
 CATALOG = build_catalog()
 
 EVENT_QUERIES = ["sessionize", "asof_join", "range_join", "json_props",
-                 "cdc_upsert"]
+                 "cdc_upsert", "trip_segments"]
 
 SEEDS = [5, 17]
 

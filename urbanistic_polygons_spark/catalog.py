@@ -1732,6 +1732,43 @@ def _sssp_sql(rounds: int = 8) -> str:
             + f"\nSELECT node, CAST(dist AS BIGINT) AS dist FROM r{rounds}")
 
 
+def q_lm_score_spark(spark, sf_dir):
+    """Corpus-trained bigram-LM surprisal (operators/lm.py) — the
+    CCNet-style perplexity-filter analog in exact BIGINT arithmetic:
+    per-doc sum of bitlen(c(w1,·)) − bitlen(c(w1,w2)) over bigram
+    occurrences (floored integer log2 of 1/P(w2|w1); length(bin(v)) is
+    the exact bit length in both engines — repo rule).  The occurrence
+    table is checkpointed once for its three consumers; both count
+    tables are narrow vocabulary-keyed sides."""
+    from .operators.lm import bigram_lm_score
+    register_views(spark, sf_dir)
+    return bigram_lm_score(spark.table("documents"))
+
+
+def _lm_score_sql() -> str:
+    # lazy: _TOKS is defined further down the module
+    return """
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+tt AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 2),
+z AS (SELECT doc_id, unnest(list_zip(t[1:n-1], t[2:n])) AS u FROM tt),
+occ AS (SELECT doc_id, u[1] AS w1, u[2] AS w2 FROM z),
+uni AS (SELECT w1, length(bin(COUNT(*))) AS bu FROM occ GROUP BY w1),
+big AS (SELECT w1, w2, length(bin(COUNT(*))) AS bb
+        FROM occ GROUP BY w1, w2),
+s AS (SELECT o.doc_id, u.bu - b.bb AS d
+      FROM occ o
+      JOIN big b ON o.w1 = b.w1 AND o.w2 = b.w2
+      JOIN uni u ON o.w1 = u.w1)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       CAST(SUM(d) AS BIGINT) AS surprisal_bits,
+       CAST((SUM(d) * 1000) // COUNT(*) AS BIGINT) AS bits_permille
+FROM s GROUP BY doc_id
+""".replace("{TOKS}", _TOKS)
+
+
+
+
+
 def q_pii_redact_spark(spark, sf_dir):
     """PII scrub (training-data scrubbing): count + mask emails / IPv4s /
     phone numbers with pure JVM regexp expressions (functions/text.py
@@ -4277,6 +4314,38 @@ FROM m GROUP BY gy, grp""")
     # in the r5 rotation, when the r4 entries have their first driver
     # green on record.
     df_q("sssp", q_sssp_spark, _sssp_sql())
+    # bigram-LM surprisal scoring (r4m, born past the cap — same
+    # rationale as sssp; window entry at the r5 rotation)
+    df_q("lm_score", q_lm_score_spark, _lm_score_sql())
+    # trajectory trip segmentation (r4m, born past the cap — same
+    # rationale; gap + jump splits over per-user GPS-like traces)
+    sql_q("trip_segments", """
+WITH p AS (
+  SELECT user_id, event_id, ts,
+         (event_id * 2654435761) % 1048576 AS px,
+         (event_id * 2246822519) % 1048576 AS py
+  FROM events
+), o AS (
+  SELECT user_id, event_id, ts, px, py,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                   OR ABS(px - LAG(px) OVER w)
+                      + ABS(py - LAG(py) OVER w) > 800000
+              THEN 1 ELSE 0 END AS new_t,
+         ABS(px - LAG(px) OVER w) + ABS(py - LAG(py) OVER w) AS step_l1
+  FROM p
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), t AS (
+  SELECT user_id, step_l1, new_t,
+         SUM(new_t) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS trip_id
+  FROM o
+)
+SELECT user_id, CAST(trip_id AS BIGINT) AS trip_id,
+       COUNT(*) AS n_points,
+       CAST(SUM(CASE WHEN new_t = 0 THEN step_l1 ELSE 0 END) AS BIGINT)
+         AS path_l1
+FROM t GROUP BY user_id, trip_id""")
 
     # -- driver-report tail: demoted redundant-evidence greens (see the
     #    rotation comments above) ------------------------------------------
