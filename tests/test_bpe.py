@@ -75,3 +75,64 @@ def test_merge_fold_leftmost_nonoverlap(spark):
     fold = _merge_fold("a", "a")
     got = [r["m"] for r in df.select(fold(F.col("syms")).alias("m")).collect()]
     assert got == [["aa", "a"], ["aa", "aa"], ["b", "aa"], ["a", "b", "a"], []]
+
+
+def _ref_encode(word: str, pair_list):
+    """Independent min-rank-first greedy encoder (subword-nmt
+    semantics), structured differently from the operator kernel: build
+    the pair->rank map fresh and recompute the candidate set per step."""
+    ranks = {p: i for i, p in enumerate(pair_list)}
+    syms = list(word) + ["</w>"]
+    while True:
+        cands = [(ranks[(syms[i], syms[i + 1])], i)
+                 for i in range(len(syms) - 1)
+                 if (syms[i], syms[i + 1]) in ranks]
+        if not cands:
+            return syms
+        r = min(c[0] for c in cands)
+        a, b = pair_list[r]
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+
+
+def test_encode_bpe_matches_reference(spark):
+    import hashlib
+    from urbanistic_polygons_spark.operators.bpe import encode_bpe
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS + ["lowest bananas unseen"])],
+        "doc_id long, text string")
+    merges_df = learn_bpe(docs, n_merges=10)
+    pair_list = [(r["left"], r["right"])
+                 for r in merges_df.orderBy("step").collect()]
+    got = {r["doc_id"]: (r["n_words"], r["n_pieces"], r["pieces_fp"])
+           for r in encode_bpe(docs, merges_df).collect()}
+    for i, t in enumerate(CORPUS + ["lowest bananas unseen"]):
+        words = [w for w in t.lower().split() if w]
+        pieces = [p for w in words for p in _ref_encode(w, pair_list)]
+        fp = hashlib.md5("\x1f".join(pieces).encode()).hexdigest()
+        assert got[i] == (len(words), len(pieces), fp), f"doc {i}"
+
+
+def test_encode_bpe_rescan_fires_earlier_rank(spark):
+    # merge 1 (a,b) creates the symbol 'ab' that enables merge 0
+    # (ab,c): the re-scan must apply it, a single in-order pass would
+    # stop at [ab, c, </w>]
+    from urbanistic_polygons_spark.operators.bpe import encode_bpe
+    docs = spark.createDataFrame([(0, "abc")], "doc_id long, text string")
+    got = encode_bpe(docs, [("ab", "c"), ("a", "b")]).collect()[0]
+    assert (got["n_words"], got["n_pieces"]) == (1, 2)  # [abc, </w>]
+
+
+def test_encode_bpe_no_merges_yields_chars(spark):
+    from urbanistic_polygons_spark.operators.bpe import encode_bpe
+    docs = spark.createDataFrame([(0, "xyz q")], "doc_id long, text string")
+    got = {r["doc_id"]: r["n_pieces"]
+           for r in encode_bpe(docs, []).collect()}
+    assert got == {0: (3 + 1) + (1 + 1)}  # chars + </w> per word

@@ -116,3 +116,87 @@ def segment_words(vocab_after: DataFrame) -> DataFrame:
     return vocab_after.select(
         "word", "freq", F.size("syms").cast("long").alias("n_syms"),
         F.concat_ws(" ", "syms").alias("segmentation"))
+
+
+def encode_bpe(docs: DataFrame, merges, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Tokenizer APPLICATION — the other half of the BPE story: apply a
+    learned ranked merge table to every document (subword-nmt
+    semantics: repeatedly merge the lowest-rank adjacent pair present,
+    leftmost-first, until none applies — the re-scan makes merges that
+    enable earlier-rank pairs fire, which a single in-order pass would
+    miss on unseen words).
+
+    -> (doc_id, n_words, n_pieces, pieces_fp) where ``pieces_fp`` is the
+    md5 of the order-sensitive piece sequence — piece-stream equality
+    per doc, the same shape as the span-sequence invariant.
+
+    Scale shape: the per-word loop is data-dependent (not expressible as
+    fixed JVM folds), so it runs as an Arrow ``mapInPandas`` kernel —
+    but over the DISTINCT-WORD table only (vocabulary-sized, 10^5-10^7
+    rows for any natural corpus), never the corpus; the ranked merge
+    list is scalar-size (collected once, shipped inside the kernel
+    closure — the ``_assign_lists`` pattern).  The corpus is touched
+    exactly twice: the word explode and the join back against the
+    encoded vocab (AQE broadcasts it when small); per-doc reassembly is
+    one sort_array(collect_list) over word-count-sized groups.
+
+    ``merges``: the DataFrame returned by :func:`learn_bpe`, or a ranked
+    ``[(left, right), ...]`` list.
+    """
+    import pandas as pd
+
+    if isinstance(merges, DataFrame):
+        rows = merges.orderBy("step").collect()       # scalar-size: one
+        pair_list = [(r["left"], r["right"]) for r in rows]  # collect only
+    else:
+        pair_list = [(a, b) for a, b in merges]
+    ranks = {p: i for i, p in enumerate(pair_list)}
+
+    def _encode_word(word: str) -> list:
+        syms = list(word) + ["</w>"]
+        while len(syms) > 1:
+            best_rank, best_i = None, None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            a, b = pair_list[best_rank]
+            # merge ALL leftmost-nonoverlapping occurrences of the pair
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == a
+                        and syms[i + 1] == b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    def _kernel(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "word": pdf["word"],
+                "pieces": [_encode_word(w) for w in pdf["word"]],
+            })
+
+    tok = (docs.select(F.col(id_col).alias("doc_id"),
+                       F.posexplode_outer(X.tokens(F.col(text_col)))
+                       .alias("pos", "word"))
+           .filter(F.col("word").isNotNull()))
+    words = tok.select("word").distinct()
+    encoded = words.mapInPandas(
+        _kernel, "word string, pieces array<string>")
+    return (tok.join(encoded, "word")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_words"),
+                 F.flatten(F.array_sort(F.collect_list(
+                     F.struct("pos", "pieces"))).pieces)
+                 .alias("allp"))
+            .select("doc_id", "n_words",
+                    F.size("allp").cast("long").alias("n_pieces"),
+                    F.md5(F.concat_ws("\x1f", "allp")).alias("pieces_fp")))
