@@ -60,7 +60,7 @@ HEADLINE = [
     # un-benched — like dbscan, per-round fixed costs dominate at the
     # 350-node test-graph size, and the suite is a throughput headline,
     # not the correctness gate
-    "lm_score", "trip_segments",
+    "lm_score", "trip_segments", "morans_i",
     # multimodal binary columns
     "media_meta", "media_features",
     # interleaved spans synthesis

@@ -4317,6 +4317,37 @@ FROM m GROUP BY gy, grp""")
     # bigram-LM surprisal scoring (r4m, born past the cap — same
     # rationale as sssp; window entry at the r5 rotation)
     df_q("lm_score", q_lm_score_spark, _lm_score_sql())
+    # global Moran's I spatial autocorrelation (r4m, born past the cap —
+    # same rationale as sssp).  Queen-contiguity 3x3 neighbors over the
+    # cell grid (the cell_halo join shape: bounded 9-row fan-out per
+    # cell, never a cell x cell blowup); the statistic stays EXACT
+    # integer by scaling deviations to d_i = N*x_i - S (so means never
+    # become floats) and emitting the numerator / denominator / weight
+    # count separately — the consumer forms I = (N * num) / (W * den),
+    # and no negative integer division (truncate-vs-floor dialect skew)
+    # ever happens inside the query.
+    sql_q("morans_i", """
+WITH {PTS_BODY},
+c AS (
+  SELECT cell_x, cell_y, COUNT(*) AS x
+  FROM pts_cell GROUP BY cell_x, cell_y
+), tot AS (
+  SELECT COUNT(*) AS n, SUM(x) AS s FROM c
+), d AS (
+  SELECT cell_x, cell_y,
+         x * (SELECT n FROM tot) - (SELECT s FROM tot) AS di
+  FROM c
+), nb AS (
+  SELECT a.di AS da, b.di AS db
+  FROM d a JOIN d b
+    ON ABS(a.cell_x - b.cell_x) <= 1 AND ABS(a.cell_y - b.cell_y) <= 1
+   AND NOT (a.cell_x = b.cell_x AND a.cell_y = b.cell_y)
+)
+SELECT (SELECT CAST(n AS BIGINT) FROM tot) AS n_cells,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM nb) AS w_pairs,
+       (SELECT CAST(SUM(da * db) AS BIGINT) FROM nb) AS moran_num,
+       (SELECT CAST(SUM(di * di) AS BIGINT) FROM d) AS moran_den
+""".replace("{PTS_BODY}", PTS))
     # trajectory trip segmentation (r4m, born past the cap — same
     # rationale; gap + jump splits over per-user GPS-like traces)
     sql_q("trip_segments", """
