@@ -33,7 +33,8 @@ CATALOG = build_catalog()
 LINEITEM_QUERIES = ["q1_pricing", "hdr_quantiles"]
 ORDERS_QUERIES = ["hll_distinct", "dedup_keeper", "pivot_status",
                   "global_topk", "salted_agg", "salted_prefix",
-                  "density_raster", "cell_index", "cell_halo"]
+                  "density_raster", "cell_index", "cell_halo",
+                  "morans_i"]
 
 SEEDS = [11, 29]
 
