@@ -24,7 +24,7 @@ AUDIT = ["pip_assign", "knn_snap", "tile_assign", "q3_shipping", "q5_region",
          "idw_grid", "hll_distinct", "prefix_jaccard", "repeated_spans",
          "json_props", "dbscan", "semdedup", "cdc_upsert", "cms_counts",
          "gopher_rules", "pq_topk", "areal_interp", "cell_compact",
-         "hdr_quantiles", "sssp", "lm_score", "trip_segments"]
+         "hdr_quantiles", "sssp", "lm_score", "trip_segments", "morans_i"]
 out = ["""# Physical plan audit
 
 Generated from `.explain`/`executedPlan` at sf0.01 (regenerate with
