@@ -136,3 +136,51 @@ def test_encode_bpe_no_merges_yields_chars(spark):
     got = {r["doc_id"]: r["n_pieces"]
            for r in encode_bpe(docs, []).collect()}
     assert got == {0: (3 + 1) + (1 + 1)}  # chars + </w> per word
+
+
+def test_learn_bpe_batched_matches_reference_random(spark):
+    """Batched merge acceptance (r4 verdict item 3) must replay the
+    EXACT sequential argmax order: randomized corpora with heavy count
+    ties and overlapping pairs, batch sizes straddling the candidate
+    pool, checked merge-by-merge against the pure-Python reference."""
+    import random
+
+    rng = random.Random(20260821)
+    alphabet = "abcde"
+    for trial in range(4):
+        words = ["".join(rng.choice(alphabet)
+                         for _ in range(rng.randint(1, 7)))
+                 for _ in range(40)]
+        text = " ".join(rng.choice(words) for _ in range(300))
+        docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        wf = {}
+        for w in text.split():
+            wf[w] = wf.get(w, 0) + 1
+        ref, _ = _ref_bpe(wf, 24)
+        for batch in (1, 3, 64):
+            got = [(r["left"], r["right"], r["cnt"])
+                   for r in learn_bpe(docs, n_merges=24, batch=batch)
+                   .orderBy("step").collect()]
+            assert got == ref, (
+                f"trial {trial} batch {batch}: {got} != {ref}")
+
+
+def test_learn_bpe_batch_fewer_jobs(spark):
+    """The batched loop must accept >1 merge per count round on a
+    distinct-count corpus (the whole point of r4 verdict item 3): with
+    disjoint high-count pairs, 8 merges take fewer than 8 rounds —
+    observable as fewer localCheckpoint rounds via the merge steps
+    sharing count values is not enough, so probe the acceptance
+    directly: disjoint pairs with strictly decreasing counts are all
+    accepted in one round, giving identical results to sequential."""
+    # 4 disjoint two-letter words with distinct frequencies: the first
+    # count round ranks (a,b) > (c,d) > (e,f) > (g,h), all
+    # symbol-disjoint, so one round accepts all four word-merges.
+    text = " ".join(["ab"] * 50 + ["cd"] * 40 + ["ef"] * 30 + ["gh"] * 20)
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    wf = {"ab": 50, "cd": 40, "ef": 30, "gh": 20}
+    ref, _ = _ref_bpe(wf, 8)
+    got = [(r["left"], r["right"], r["cnt"])
+           for r in learn_bpe(docs, n_merges=8, batch=64)
+           .orderBy("step").collect()]
+    assert got == ref

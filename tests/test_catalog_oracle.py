@@ -68,7 +68,10 @@ def test_oracle_match(spark, name):
                                   check_exact=True, obj=name)
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
-def test_rows_only(spark, name):
-    df = CATALOG[name]["spark"](spark, SF_DIR)
-    assert df.count() > 0, f"{name}: no rows"
+if ROWS_ONLY_NAMES:
+    # empty since r5 (geojson_features gained its partial value oracle);
+    # kept for any future genuinely non-SQL-expressible entry
+    @pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
+    def test_rows_only(spark, name):
+        df = CATALOG[name]["spark"](spark, SF_DIR)
+        assert df.count() > 0, f"{name}: no rows"

@@ -73,15 +73,88 @@ def _merge_fold(a: str, b: str):
     return lambda col: F.aggregate(col, init, step, finish)
 
 
+def _apply_merges(vocab: DataFrame, ordered_pairs) -> DataFrame:
+    """Apply a rank-ordered list of merges to every word's symbol array
+    in ONE vocabulary-sized pass.
+
+    len == 1 uses the JVM ``_merge_fold`` (stays in codegen, no Python
+    boundary for the flat-count worst case); longer batches run as an
+    Arrow ``mapInPandas`` kernel — the per-word loop over k merges is
+    data-dependent, and the table is the vocabulary, never the corpus.
+    Sequential-application semantics: pair i+1 is merged AFTER pair i
+    within each word (exactly the order the one-merge-per-round loop
+    would apply them)."""
+    pairs = [(a, b) for a, b in ordered_pairs]
+    if len(pairs) == 1:
+        fold = _merge_fold(*pairs[0])
+        return vocab.select("word", "freq",
+                            fold(F.col("syms")).alias("syms"))
+
+    import pandas as pd
+
+    def _kernel(batches):
+        for pdf in batches:
+            out_col = []
+            for syms in pdf["syms"]:
+                syms = list(syms)
+                for a, b in pairs:
+                    out, i, n = [], 0, len(syms)
+                    while i < n:
+                        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                            out.append(a + b)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    syms = out
+                out_col.append(syms)
+            yield pd.DataFrame({"word": pdf["word"], "freq": pdf["freq"],
+                                "syms": out_col})
+
+    return vocab.mapInPandas(
+        _kernel, "word string, freq long, syms array<string>")
+
+
 def learn_bpe(docs: DataFrame, n_merges: int = 8,
-              text_col: str = "text") -> DataFrame:
+              text_col: str = "text", batch: int = 64) -> DataFrame:
     """-> the learned merge table (step, left, right, merged, cnt),
     one row per merge in order.  Stops early when the best remaining
-    pair occurs fewer than 2 times."""
+    pair occurs fewer than 2 times.
+
+    BATCHED merge rounds (r4 verdict item 3 — the one-Spark-job-per-
+    merge loop would mean 32k-100k sequential driver round-trips for a
+    production vocabulary).  Each round runs ONE pair-count job,
+    collects the top ``batch`` ranked candidates (scalar-size), and
+    accepts a contiguous prefix of them that provably replays the
+    sequential argmax order:
+
+    1. candidates are ranked exactly like the sequential tie-break
+       (cnt DESC, left ASC, right ASC);
+    2. the scan stops at the first candidate sharing ANY symbol (left,
+       right, or merged output string) with an already-accepted pair —
+       merging (a,b) only changes counts of pairs containing a or b,
+       so every still-unseen candidate's count is unchanged, and a
+       contiguous symbol-disjoint prefix keeps its relative ranking;
+    3. the prefix is then truncated to candidates with cnt STRICTLY
+       greater than the stopping candidate's cnt (always keeping the
+       top-1, which is the true argmax unconditionally).  Strictness
+       closes the tie hole: a NEW pair created by an accepted merge
+       (one containing the merged symbol) is count-bounded by an
+       affected old pair, which — being a conflict — ranks at or after
+       the stop point, so its count is <= cnt_stop < every accepted
+       cnt; it can therefore never tie (and lexicographically steal)
+       an accepted step.
+
+    The accepted merges are applied in rank order in one
+    vocabulary-sized pass (``_apply_merges``) behind an eager
+    localCheckpoint.  Worst case (all counts tied / all candidates
+    overlapping) degenerates to the old one-merge-per-round behavior;
+    natural-language count distributions accept tens of merges per
+    round, so a 32k-merge vocabulary is ~10^2-10^3 jobs, not 32k."""
     spark = docs.sparkSession
     vocab = word_freqs(docs, text_col).localCheckpoint(eager=True)
-    merges = []
-    for step_i in range(n_merges):
+    merges: list[tuple] = []
+    while len(merges) < n_merges:
         pairs = vocab.select(
             "freq", F.col("syms").alias("l"),
             F.expr("slice(syms, 2, size(syms) - 1)").alias("r"))
@@ -94,17 +167,41 @@ def learn_bpe(docs: DataFrame, n_merges: int = 8,
             .filter(F.col("p.pb").isNotNull())
             .select(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"),
                     "freq"))
-        best = (ex.groupBy("pa", "pb")
-                .agg(F.sum("freq").cast("long").alias("cnt"))
-                .orderBy(F.desc("cnt"), F.asc("pa"), F.asc("pb"))
-                .limit(1).collect())
-        if not best or best[0]["cnt"] < 2:
+        top = (ex.groupBy("pa", "pb")
+               .agg(F.sum("freq").cast("long").alias("cnt"))
+               .orderBy(F.desc("cnt"), F.asc("pa"), F.asc("pb"))
+               .limit(max(batch, 1)).collect())       # scalar-size: <= batch
+        if not top or top[0]["cnt"] < 2:
             break
-        pa, pb, cnt = best[0]["pa"], best[0]["pb"], int(best[0]["cnt"])
-        merges.append((step_i, pa, pb, pa + pb, cnt))
-        fold = _merge_fold(pa, pb)
-        vocab = (vocab.select("word", "freq", fold(F.col("syms"))
-                              .alias("syms"))
+        accepted: list[tuple] = []
+        used: set[str] = set()
+        for r in top:
+            pa, pb, cnt = r["pa"], r["pb"], int(r["cnt"])
+            if cnt < 2 or ({pa, pb, pa + pb} & used):
+                break
+            accepted.append((pa, pb, cnt))
+            used |= {pa, pb, pa + pb}
+            if len(merges) + len(accepted) >= n_merges:
+                break
+        # cnt_stop = count of the first candidate NOT accepted (the
+        # conflicting one, or the first past the n_merges cap); if the
+        # whole collected list was accepted, rank batch+1 is unseen —
+        # bound it by the last seen count.
+        if len(accepted) < len(top):
+            cnt_stop = int(top[len(accepted)]["cnt"])
+        elif len(top) == max(batch, 1):
+            cnt_stop = int(top[-1]["cnt"])
+        else:
+            # the ENTIRE pair ranking was seen and accepted without a
+            # conflict: no pair shares a symbol with any other, so no
+            # merge affects any other count — no truncation needed
+            cnt_stop = None
+        if cnt_stop is not None:
+            strict = [m for m in accepted if m[2] > cnt_stop]
+            accepted = strict if strict else accepted[:1]
+        for pa, pb, cnt in accepted:
+            merges.append((len(merges), pa, pb, pa + pb, cnt))
+        vocab = (_apply_merges(vocab, [(pa, pb) for pa, pb, _ in accepted])
                  .localCheckpoint(eager=True))
     schema = "step long, left string, right string, merged string, cnt long"
     return spark.createDataFrame(merges, schema)
@@ -143,6 +240,13 @@ def encode_bpe(docs: DataFrame, merges, id_col: str = "doc_id",
 
     ``merges``: the DataFrame returned by :func:`learn_bpe`, or a ranked
     ``[(left, right), ...]`` list.
+
+    Documents that tokenize to ZERO words (empty/whitespace-only text)
+    are DROPPED from the output — the posexplode_outer null row is
+    filtered before the join/groupBy, so such docs produce no
+    ``n_words=0`` row (same contract as ``bigram_lm_score``'s sub-2-token
+    drop; left-join against the doc table if total-doc coverage is
+    needed).
     """
     import pandas as pd
 

@@ -144,7 +144,8 @@ def pagerank_int(edges: DataFrame, src: str = "src", dst: str = "dst",
 
 def sssp_int(edges: DataFrame, source: int, src: str = "src",
              dst: str = "dst", weight: str = "w",
-             max_rounds: int = 8) -> DataFrame:
+             max_rounds: int = 8,
+             round_stats: list | None = None) -> DataFrame:
     """Single-source shortest paths over a weighted directed graph,
     bounded at ``max_rounds`` relaxation rounds -> (node, dist) for
     every node reached within that many hops.  The routing analog for
@@ -214,6 +215,11 @@ def sssp_int(edges: DataFrame, source: int, src: str = "src",
         dist = merged.select("node", "dist")
         frontier = merged.where(F.col("improved") == 1) \
                          .select("node", "dist")
-        if not (obs.get["n"] or 0):
+        improved = int(obs.get["n"] or 0)
+        if round_stats is not None:
+            # per-round frontier size (= next round's join input) — the
+            # decay evidence scripts/bench_sssp.py records
+            round_stats.append(improved)
+        if not improved:
             break
     return dist
