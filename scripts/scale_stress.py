@@ -130,7 +130,7 @@ def run(queries) -> None:
             df = q(spark, sf)
             rows = df.count()          # warm-up, discarded
             times = []
-            for _ in range(2):
+            for _ in range(int(os.environ.get("SCALE_STRESS_RUNS", "2"))):
                 t0 = time.perf_counter()
                 q(spark, sf).count()
                 times.append(round(time.perf_counter() - t0, 2))

@@ -65,6 +65,48 @@ def ensure_metrics_survive(df: DataFrame) -> None:
         spark.conf.set(key, cur + "," + rule)
 
 
+def cut_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
+    """``localCheckpoint`` + drop the checkpoint's inherited size estimate
+    — the lineage cut an ITERATIVE SELF-JOINING loop must use.
+
+    Spark 4's ``localCheckpoint`` cuts the logical plan but keeps
+    ``originStats`` = the origin plan's ESTIMATED statistics, and the
+    size-only stats visitor estimates a join as the PRODUCT of its
+    children's ``sizeInBytes``.  A loop whose round self-joins the
+    previous round's checkpoint therefore SQUARES the inherited estimate
+    every round — the digit count of the BigInt doubles per round, and
+    by round ~16 "computing the estimate" means multiplying
+    million-digit integers: the driver burns minutes of single-thread
+    CPU inside ``BigInteger.multiply`` (Karatsuba/ToomCook3 frames under
+    ``SizeInBytesOnlyStatsPlanVisitor.visitJoin`` — observed live on a
+    500k-edge ``near_dup_components`` call that never finished; jstack
+    evidence in BENCH.md r5).  At small scale the loop converges before
+    the doubling matters, which is why this only surfaced at the 10x
+    scale-stress — a textbook invisible-at-test-scale scale-killer.
+
+    Dropping ``originStats`` resets the checkpoint leaf to
+    ``defaultSizeInBytes``; every join these loops run is
+    corpus-proportional on both sides (never a broadcast candidate), so
+    the reset costs nothing in plan quality.  Uses the classic-Dataset
+    internals via py4j; any drift in that internal API degrades
+    gracefully to a plain (un-stripped) checkpoint."""
+    ck = df.localCheckpoint(eager=eager)
+    try:
+        spark = df.sparkSession
+        jdf = ck._jdf
+        lr = jdf.queryExecution().analyzed()
+        jvm = spark._jvm
+        none = jvm.scala.Option.empty()
+        stripped = lr.copy(lr.output(), lr.rdd(), lr.outputPartitioning(),
+                           lr.outputOrdering(), lr.isStreaming(),
+                           lr.stream(), jdf.sparkSession(), none, none)
+        jnew = jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+            jdf.sparkSession(), stripped)
+        return DataFrame(jnew, spark)
+    except Exception:
+        return ck
+
+
 def normalize(text_col):
     return F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " "))
 
@@ -216,7 +258,8 @@ def _star_contraction(sym: DataFrame, max_rounds: int) -> DataFrame:
                  .filter(F.col("v") > F.col("u"))
                  .select(F.col("v").alias("u"), F.col("m").alias("v"))
                  .filter(F.col("u") != F.col("v"))
-                 .distinct().localCheckpoint(eager=False))
+                 .distinct())
+        large = cut_lineage(large, eager=False)
         # small-star(u): connect u and all its smaller neighbors to the
         # minimum among them (input/output both larger->smaller)
         mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
@@ -227,7 +270,8 @@ def _star_contraction(sym: DataFrame, max_rounds: int) -> DataFrame:
                     .alias("e"))
                 .select(F.col("e.x").alias("u"), F.col("e.y").alias("v"))
                 .filter(F.col("u") != F.col("v"))
-                .distinct().localCheckpoint(eager=True))
+                .distinct())
+        both = cut_lineage(both)
         # fixpoint = edge set unchanged (both sets are canonical, so the
         # two-sided anti-join is exact); counts first for the cheap exit
         if (both.count() == edges.count()
@@ -312,8 +356,7 @@ def near_dup_components(pairs: DataFrame, id_a: str = "doc_a",
         import uuid as _uuid
         ensure_metrics_survive(df)
         obs = Observation(f"cc_sum_{_uuid.uuid4().hex[:8]}")
-        out = (df.observe(obs, F.sum("component").alias("s"))
-               .localCheckpoint(eager=True))
+        out = cut_lineage(df.observe(obs, F.sum("component").alias("s")))
         return out, obs.get["s"]
 
     prev = labels
@@ -330,10 +373,11 @@ def near_dup_components(pairs: DataFrame, id_a: str = "doc_a",
         # lazy checkpoint so the jump's self-join reads ONE
         # materialization of the aggregate instead of recomputing it per
         # side (self-joins re-execute their subtree — repo rule)
-        labels = (labels.unionByName(msgs)
+        labels = cut_lineage(
+            labels.unionByName(msgs)
                   .groupBy("node")
-                  .agg(F.min("component").alias("component"))
-                  .localCheckpoint(eager=False))
+                  .agg(F.min("component").alias("component")),
+            eager=False)
         # pointer jump: label(v) <- label(label(v)).  A label is always
         # itself a node of the graph, so the lookup hits; one neighbor hop
         # + one jump per round shrinks chains geometrically (large-star
@@ -350,7 +394,7 @@ def near_dup_components(pairs: DataFrame, id_a: str = "doc_a",
                 break
             prev_sum = cur_sum
         else:
-            labels = jumped.localCheckpoint(eager=True)
+            labels = cut_lineage(jumped)
             unchanged = (labels.join(
                 prev.select("node", F.col("component").alias("_prev")), "node")
                 .filter(F.col("component") != F.col("_prev")).isEmpty())

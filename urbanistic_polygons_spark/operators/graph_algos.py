@@ -179,7 +179,7 @@ def sssp_int(edges: DataFrame, source: int, src: str = "src",
     either way, but only non-negative weights converge to true SSSP).
     """
     from pyspark.sql import Observation
-    from .dedup import ensure_metrics_survive
+    from .dedup import cut_lineage, ensure_metrics_survive
 
     ed = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"),
                        F.col(weight).cast("long").alias("w"))
@@ -210,8 +210,11 @@ def sssp_int(edges: DataFrame, source: int, src: str = "src",
                       .cast("long").alias("improved")))
         ensure_metrics_survive(merged)
         obs = Observation(f"sssp_{rnd}")
-        merged = (merged.observe(obs, F.sum("improved").alias("n"))
-                  .localCheckpoint(eager=True))
+        # cut_lineage, not plain localCheckpoint: the full-outer merge
+        # references dist AND cand(dist) — the inherited size estimate
+        # squares per round (see dedup.cut_lineage)
+        merged = cut_lineage(
+            merged.observe(obs, F.sum("improved").alias("n")))
         dist = merged.select("node", "dist")
         frontier = merged.where(F.col("improved") == 1) \
                          .select("node", "dist")

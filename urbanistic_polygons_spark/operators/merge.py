@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import near_dup_components
+from .dedup import cut_lineage, near_dup_components
 
 #: segments whose boundary matches no classified barrier edge DO NOT
 #: merge: a missed segment-key join (filtered edge subset, or a
@@ -215,11 +215,14 @@ def merge_to_size(faces: DataFrame, seg_res: DataFrame,
         if not region_edges.isEmpty():
             comp = near_dup_components(region_edges, "ra", "rb").select(
                 F.col("doc_id").alias("region"), "component")
-            labels = (labels.join(comp, "region", "left")
+            # cut_lineage, not plain localCheckpoint: each level joins
+            # labels against comp(labels) — the inherited size estimate
+            # squares per level (see dedup.cut_lineage)
+            labels = cut_lineage(
+                labels.join(comp, "region", "left")
                       .select("face_guid",
                               F.coalesce("component", "region")
-                              .alias("region"))
-                      .localCheckpoint(eager=True))
+                              .alias("region")))
         n_regions = labels.select("region").distinct().count()
         if n_regions == 0 or n_faces / n_regions >= expected_faces_per_region:
             return _out(t)
