@@ -50,9 +50,11 @@ def const_density_pts(spark, n, area_mult):
     axis: any affine pair (a*id mod mx, b*id mod my) is a 1-D curve on
     the torus whose points never come within eps of each other
     (measured: zero eps-pairs), which trivializes the benchmark.
-    xxhash64 with two seeds decorrelates the axes."""
+    xxhash64 with two seeds decorrelates the axes.  Only the x axis is
+    multiplied (a growing strip): scaling both axes by area_mult would
+    grow the AREA by area_mult^2 and silently DROP the density."""
     mx = 1_890_000 * area_mult
-    my = 1_520_000 * area_mult
+    my = 1_520_000
     return spark.range(n).select(
         F.col("id").alias("point_id"),
         F.pmod(F.xxhash64("id"), F.lit(mx)).alias("px"),

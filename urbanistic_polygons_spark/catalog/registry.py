@@ -117,6 +117,7 @@ from .spatial import (
     q_cell_compact_spark,
     q_cell_halo_spark,
     q_hdr_quantiles_spark,
+    q_morans_i_spark,
     q_knn_snap_spark,
     q_landuse_agg_spark,
     q_landuse_rollup_spark,
@@ -428,15 +429,16 @@ FROM ranked WHERE rn = 1""", "duckdb"))
     # ------------------------------------------------------------------
     df_q("merge_to_size", q_merge_to_size_spark, _MERGE_TO_SIZE_SQL)
     # global Moran's I spatial autocorrelation (r5 rotation — see the
-    # ROUND-5 ROTATION block above).  Queen-contiguity 3x3 neighbors
-    # over the cell grid (the cell_halo join shape: bounded 9-row
-    # fan-out per cell, never a cell x cell blowup); the statistic
-    # stays EXACT integer by scaling deviations to d_i = N*x_i - S (so
-    # means never become floats) and emitting the numerator /
-    # denominator / weight count separately — the consumer forms
-    # I = (N * num) / (W * den), and no negative integer division
-    # (truncate-vs-floor dialect skew) ever happens inside the query.
-    sql_q("morans_i", """
+    # ROUND-5 ROTATION block above).  The Spark side is the 8-offset
+    # halo EQUI-join (q_morans_i_spark — the shared-template ABS<=1
+    # theta self-join planned as a BroadcastNestedLoop, caught by the
+    # r5 PLANS.md audit); the statistic stays EXACT integer by scaling
+    # deviations to d_i = N*x_i - S (so means never become floats) and
+    # emitting the numerator / denominator / weight count separately —
+    # the consumer forms I = (N * num) / (W * den), and no negative
+    # integer division (truncate-vs-floor dialect skew) ever happens
+    # inside the query.
+    df_q("morans_i", q_morans_i_spark, _render("""
 WITH {PTS_BODY},
 c AS (
   SELECT cell_x, cell_y, COUNT(*) AS x
@@ -457,7 +459,7 @@ SELECT (SELECT CAST(n AS BIGINT) FROM tot) AS n_cells,
        (SELECT CAST(COUNT(*) AS BIGINT) FROM nb) AS w_pairs,
        (SELECT CAST(SUM(da * db) AS BIGINT) FROM nb) AS moran_num,
        (SELECT CAST(SUM(di * di) AS BIGINT) FROM d) AS moran_den
-""".replace("{PTS_BODY}", PTS))
+""".replace("{PTS_BODY}", PTS), "duckdb"))
     # trajectory trip segmentation (r5 rotation — see the ROUND-5
     # ROTATION block above; gap + jump splits over per-user GPS-like
     # traces)

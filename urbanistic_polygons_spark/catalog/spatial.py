@@ -456,3 +456,51 @@ def q_cell_halo_spark(spark, sf_dir):
             .groupBy("cell_id").agg(F.sum("n_nbr").alias("halo_points")))
 
 
+
+
+def q_morans_i_spark(spark, sf_dir):
+    """Global Moran's I over the cell grid — Spark side of the r5-rotated
+    `morans_i` entry.
+
+    The shared SQL template expresses queen contiguity as
+    ``ABS(a.cell_x-b.cell_x)<=1 AND ABS(a.cell_y-b.cell_y)<=1`` — fine
+    for DuckDB's tiny oracle run, but Spark plans that theta self-join
+    as a BroadcastNestedLoop (cell x cell — the 100 TB killer; caught by
+    the r5 PLANS.md audit at 32 exchanges + a CARTESIAN flag).  Here the
+    neighbor relation is the engine's halo pattern instead: each cell
+    explodes its 8 queen offsets and equi-joins the deviation table on
+    the neighbor cell key — fan-out bounded at 8 rows per cell, shuffle
+    keyed on (cell_x, cell_y), never a cell-by-cell blowup.
+
+    Exactness: deviations are scaled to d_i = N*x_i - S (means never
+    become floats) and the three BIGINT terms are emitted separately, as
+    in the SQL.  The only collects are two SCALAR aggregation rows
+    (N/S and the denominator — the repo collect-once rule)."""
+    pts = _pts_df(spark, sf_dir)
+    c = (pts.groupBy("cell_x", "cell_y")
+         .agg(F.count("*").alias("x"))
+         .localCheckpoint(eager=True))     # consumers: N/S scalar, d
+    n, s = c.agg(F.count("*"), F.sum("x")).collect()[0]
+    d = (c.select("cell_x", "cell_y",
+                  (F.col("x") * F.lit(int(n)) - F.lit(int(s))).alias("di"))
+         .localCheckpoint(eager=True))     # consumers: probe, home, den
+    den = int(d.agg(F.sum(F.col("di") * F.col("di"))).collect()[0][0])
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            if (dx, dy) != (0, 0)]
+    probe = (d.select(
+        F.col("di").alias("da"),
+        F.explode_outer(F.array(*[
+            F.struct((F.col("cell_x") + F.lit(dx)).alias("nx"),
+                     (F.col("cell_y") + F.lit(dy)).alias("ny"))
+            for dx, dy in offs])).alias("nb"))
+        .select("da", F.col("nb.nx").alias("cell_x"),
+                F.col("nb.ny").alias("cell_y")))
+    nb = probe.join(
+        d.select("cell_x", "cell_y", F.col("di").alias("db")),
+        ["cell_x", "cell_y"])
+    return (nb.agg(F.count("*").cast("long").alias("w_pairs"),
+                   F.sum(F.col("da") * F.col("db")).cast("long")
+                   .alias("moran_num"))
+            .select(F.lit(int(n)).cast("long").alias("n_cells"),
+                    "w_pairs", "moran_num",
+                    F.lit(den).cast("long").alias("moran_den")))
